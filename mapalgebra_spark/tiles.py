@@ -42,8 +42,8 @@ TILE_FIELDS = [
     T.StructField("w", T.IntegerType()),
     T.StructField("nty", T.IntegerType()),
     T.StructField("ntx", T.IntegerType()),
-    T.StructField("H", T.IntegerType()),
-    T.StructField("W", T.IntegerType()),
+    T.StructField("rh", T.IntegerType()),
+    T.StructField("rw", T.IntegerType()),
     T.StructField("dtype", T.StringType()),
     T.StructField("planes", T.IntegerType()),
     T.StructField("cell_id", T.LongType()),
@@ -99,8 +99,8 @@ def tile_rows_from_array(
                 w=block.shape[1],
                 nty=nty,
                 ntx=ntx,
-                H=H,
-                W=W,
+                rh=H,
+                rw=W,
                 dtype=str(arr.dtype),
                 planes=1,
                 cell_id=int(cell_id),
@@ -114,7 +114,7 @@ def assemble_from_tiles(rows, band: int = 0) -> np.ndarray:
     """Tile-row dicts (one raster, one band) → full (H, W[, planes]) array.
     Driver/test helper for golden comparisons — not used at scale."""
     rows = [r for r in rows if r["band"] == band]
-    H, W, planes = rows[0]["H"], rows[0]["W"], rows[0]["planes"]
+    H, W, planes = rows[0]["rh"], rows[0]["rw"], rows[0]["planes"]
     dt = np.dtype(rows[0]["dtype"])
     out = (
         np.zeros((planes, H, W), dtype=dt) if planes > 1 else np.zeros((H, W), dtype=dt)

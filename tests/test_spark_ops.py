@@ -1,0 +1,148 @@
+"""Spark-level correctness: the distributed engine must equal the pure
+numpy reference (which itself equals the Haskell goldens — see
+test_kernels.py) on multi-tile rasters, i.e. across halo boundaries.
+
+Every golden from FIXTURES.md §2 is run both single-tile and split at
+2x2/3x3 tile boundaries (the "strided focal-op correctness tests on
+boundary tiles" demanded by BASELINE.json north_star)."""
+
+import numpy as np
+import pytest
+
+from mapalgebra_spark import kernels as K
+from mapalgebra_spark import raster as R
+from mapalgebra_spark.operators import focal as FO
+
+pytestmark = pytest.mark.spark
+
+
+def make_tr(spark, arr, tile_size, rid="r0"):
+    return R.TileRaster.from_arrays(spark, {rid: np.asarray(arr)}, tile_size=tile_size)
+
+
+def ref_focal(arr, op):
+    spec = FO.FOCAL_OPS[op]
+    a = np.asarray(arr)
+    if spec.cast:
+        a = a.astype(np.dtype(spec.cast))
+    return spec.kernel(K.pad_block(a, spec.mode, spec.fill))
+
+
+RNG = np.random.default_rng(42)
+TERRAIN = (RNG.normal(size=(19, 23)) * 10 + 100).round(1)
+INTS = RNG.integers(0, 5, size=(19, 23)).astype(np.int64)
+
+ALL_FOCAL = [
+    "fsum", "fproduct", "fmean", "fmax", "fmin", "fvariety",
+    "fmajority", "fminority", "fpercentage", "fpercentile",
+    "flinkage", "fpartition", "fshape", "fvolume",
+    "fgradient", "faspect", "faspect_unsafe", "fdownstream",
+]
+
+
+@pytest.mark.parametrize("op", ALL_FOCAL)
+@pytest.mark.parametrize("tile_size", [7, 32])
+def test_focal_matches_reference_multi_tile(spark, op, tile_size):
+    arr = INTS if op in ("fvariety", "fmajority", "fminority", "flinkage", "fpartition", "fshape") else TERRAIN
+    tr = make_tr(spark, arr, tile_size)
+    out = FO.focal(tr, op).collect_array("r0")
+    ref = ref_focal(arr, op)
+    if np.issubdtype(np.asarray(ref).dtype, np.floating):
+        np.testing.assert_allclose(out, ref, equal_nan=True, atol=1e-12)
+    else:
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_fupstream_chained_with_barrier(spark):
+    arr = TERRAIN
+    tr = make_tr(spark, arr, 7)
+    down = FO.fdownstream(tr).strict(persist=True)
+    up = FO.fupstream(down).collect_array("r0")
+    ref_down = ref_focal(arr, "fdownstream")
+    ref_up = K.k_fupstream(K.pad_block(ref_down, K.BORDER_FILL, 0))
+    np.testing.assert_array_equal(up, ref_up)
+
+
+def test_flength_ffrontage_farea_pipelines(spark):
+    arr = INTS
+    tr = make_tr(spark, arr, 7)
+    length = FO.flength(FO.flinkage(tr)).collect_array("r0")
+    ref_len = K.k_flength(ref_focal(arr, "flinkage"))
+    np.testing.assert_allclose(length, ref_len)
+    shape = FO.fshape(tr).strict(persist=True)
+    front = FO.ffrontage(shape).collect_array("r0")
+    area = FO.farea(shape).collect_array("r0")
+    ref_shape = ref_focal(arr, "fshape")
+    np.testing.assert_allclose(front, K.k_ffrontage(ref_shape))
+    np.testing.assert_allclose(area, K.k_farea(ref_shape))
+
+
+def test_focal_multi_shares_one_halo(spark):
+    tr = make_tr(spark, TERRAIN, 7)
+    outs = FO.focal_multi(tr, ["fmean", "fgradient"])
+    m = outs["fmean"].collect_array("r0")
+    g = outs["fgradient"].collect_array("r0")
+    np.testing.assert_allclose(m, ref_focal(TERRAIN, "fmean"))
+    np.testing.assert_allclose(g, ref_focal(TERRAIN, "fgradient"), atol=1e-12)
+
+
+def test_local_fusion_no_shuffle(spark):
+    """A fused unary chain must stay a single mapInPandas over the scan —
+    no Exchange in the plan."""
+    tr = make_tr(spark, TERRAIN, 7)
+    out = (tr * 2 + 1).map(np.sqrt).strict()
+    plan = out.df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_local_binary_and_nary(spark):
+    a_arr = TERRAIN
+    b_arr = (RNG.normal(size=(19, 23)) * 5 + 80).round(1)
+    c_arr = (RNG.normal(size=(19, 23)) * 2 + 90).round(1)
+    a = make_tr(spark, a_arr, 7, "x")
+    b = R.TileRaster.from_arrays(spark, {"x": b_arr}, tile_size=7)
+    c = R.TileRaster.from_arrays(spark, {"x": c_arr}, tile_size=7)
+    np.testing.assert_allclose(R.lmax(a, b).collect_array("x"), np.maximum(a_arr, b_arr))
+    np.testing.assert_allclose(R.lmin(a, b).collect_array("x"), np.minimum(a_arr, b_arr))
+    np.testing.assert_allclose(
+        R.lmean([a, b, c]).collect_array("x"), np.mean([a_arr, b_arr, c_arr], axis=0)
+    )
+    np.testing.assert_allclose(
+        R.lvariance([a, b, c]).collect_array("x"),
+        np.var(np.stack([a_arr, b_arr, c_arr]), axis=0, ddof=1),
+    )
+    ia = make_tr(spark, INTS, 7, "y")
+    ib = R.TileRaster.from_arrays(spark, {"y": (INTS % 3).astype(np.int64)}, tile_size=7)
+    np.testing.assert_array_equal(
+        R.lvariety([ia, ib]).collect_array("y"),
+        K.stack_variety([INTS, (INTS % 3).astype(np.int64)]),
+    )
+    # EVI-style fused arithmetic across three rasters
+    evi = (2.5 * ((a - b) / (a + 6.0 * b - 7.5 * c + 1.0))).collect_array("x")
+    ref = 2.5 * ((a_arr - b_arr) / (a_arr + 6.0 * b_arr - 7.5 * c_arr + 1.0))
+    np.testing.assert_allclose(evi, ref)
+
+
+def test_zip_size_mismatch_fails_fast(spark):
+    a = make_tr(spark, TERRAIN, 7, "x")
+    b = R.TileRaster.from_arrays(spark, {"x": TERRAIN[:10, :10]}, tile_size=7)
+    with pytest.raises(Exception, match="size mismatch"):
+        (a + b).collect_array("x")
+
+
+def test_classify(spark):
+    arr = INTS
+    tr = make_tr(spark, arr, 7)
+    out = tr.classify({1: 10, 3: 30}, default=-1).collect_array("r0")
+    ref = K.classify_block(arr, [1, 3], [10, 30], -1)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_constant_and_sum_golden(spark):
+    """Test.hs:37,48: constant raster folds."""
+    arr = np.full((256, 256), 5, dtype=np.int64)
+    tr = make_tr(spark, arr, 64)
+    got = tr.collect_array("r0")
+    assert got.size == 65536 and int(got.sum()) == 327680
+    two = (tr + tr).collect_array("r0")
+    assert int(two.sum()) == 655360
