@@ -1,0 +1,142 @@
+"""Colouring / classification / histogram layer (MapAlgebra.hs:594-682,
+1296-1315) — the reference's "analytics" surface.
+
+- ``histogram``: per-tile ``np.bincount`` partials → one groupBy sum
+  (the 2-stage tree-reduce; the only shuffle carries 256 rows/partition).
+- ``breaks``: the reference's exact quirky algorithm, driver-side on the
+  collected 256-vector (kernels.breaks).
+- colour ramps: the ten fixed ramps from /Cartographer's Toolkit/
+  pages 32-41, RGB literals identical to MapAlgebra.hs:604-661 (data
+  constants, not code).
+- ``colorize``: classify each uint8 tile through a ramp into a 4-plane
+  RGBA tile (one local map — fused, no shuffle).
+- ``render_png``: encode a (small) raster to one PNG for export/debug.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import codecs
+from .. import kernels as K
+from ..raster import TileRaster
+from ..tiles import decode_block
+
+# RGB literals from /Cartographer's Toolkit/ as cited in
+# MapAlgebra.hs:603-661 (data, reproduced verbatim).
+RAMP_COLOURS: dict[str, list[tuple[int, int, int]]] = {
+    "greenRed": [(0, 48, 0), (31, 79, 20), (100, 135, 68), (148, 193, 28), (193, 242, 3),
+                 (241, 255, 159), (249, 228, 227), (202, 145, 150), (153, 101, 97), (142, 38, 18)],
+    "spectrum": [(0, 22, 51), (51, 18, 135), (150, 0, 204), (242, 13, 177), (255, 61, 61),
+                 (240, 152, 56), (248, 230, 99), (166, 249, 159), (184, 249, 212), (216, 230, 253)],
+    "blueGreen": [(29, 43, 53), (37, 44, 95), (63, 70, 134), (89, 112, 147), (87, 124, 143),
+                  (117, 160, 125), (188, 219, 173), (239, 253, 163), (222, 214, 67), (189, 138, 55)],
+    "purpleYellow": [(90, 89, 78), (73, 65, 132), (107, 86, 225), (225, 67, 94), (247, 55, 55),
+                     (251, 105, 46), (248, 174, 66), (249, 219, 25), (255, 255, 0), (242, 242, 242)],
+    "brownBlue": [(27, 36, 43), (86, 52, 42), (152, 107, 65), (182, 176, 152), (215, 206, 191),
+                  (198, 247, 0), (53, 227, 0), (30, 158, 184), (22, 109, 138), (12, 47, 122)],
+    "grayBrown": [(64, 57, 88), (95, 96, 116), (158, 158, 166), (206, 208, 197), (215, 206, 191),
+                  (186, 164, 150), (160, 124, 98), (117, 85, 72), (90, 70, 63), (39, 21, 17)],
+    "greenPurple": [(89, 168, 15), (158, 213, 76), (196, 237, 104), (226, 255, 158), (240, 242, 221),
+                    (248, 202, 140), (233, 161, 137), (212, 115, 132), (172, 67, 123), (140, 40, 110)],
+    "brownYellow": [(96, 72, 96), (120, 72, 96), (168, 96, 96), (192, 120, 96), (240, 168, 72),
+                    (248, 202, 140), (254, 236, 174), (255, 244, 194), (255, 247, 219), (255, 252, 246)],
+    "purpleGreen": [(80, 73, 113), (117, 64, 152), (148, 116, 180), (199, 178, 214), (223, 204, 228),
+                    (218, 234, 193), (171, 214, 155), (109, 192, 103), (13, 177, 75), (57, 99, 83)],
+    "purpleRed": [(51, 60, 255), (76, 60, 233), (99, 60, 211), (121, 60, 188), (155, 60, 155),
+                  (166, 60, 143), (188, 60, 121), (206, 60, 94), (217, 60, 83), (255, 60, 76)],
+}
+
+INVISIBLE = (0, 0, 0, 0)  # MapAlgebra.hs:594-595
+
+
+def ramp(colours: list[tuple[int, int, int]], breaks_keys: list) -> dict:
+    """zip breaks with RGB triples → {break: RGBA} (MapAlgebra.hs:599-601,
+    alpha = maxBound)."""
+    return {k: (r, g, b, 255) for k, (r, g, b) in zip(breaks_keys, colours)}
+
+
+def histogram(tr: TileRaster, band: int | None = None) -> DataFrame:
+    """256-bin value counts of a uint8 raster collection → DataFrame
+    (value int, count long). Partial bincount per tile, final sum."""
+    import pandas as pd
+
+    src = tr.strict().df
+    if band is not None:
+        src = src.filter(F.col("band") == band)
+
+    schema = T.StructType(
+        [T.StructField("value", T.IntegerType()), T.StructField("cnt", T.LongType())]
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            acc = np.zeros(256, dtype=np.int64)
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                block = decode_block(
+                    row["tile"], row["dtype"], int(row["h"]), int(row["w"]), int(row["planes"])
+                )
+                acc += K.block_histogram(block).astype(np.int64)
+            yield pd.DataFrame({"value": np.arange(256, dtype=np.int32), "cnt": acc})
+
+    return (
+        src.mapInPandas(partial, schema)
+        .groupBy("value")
+        .agg(F.sum("cnt").alias("count"))
+    )
+
+
+def histogram_vector(tr: TileRaster, band: int | None = None) -> np.ndarray:
+    """Collect the histogram to a 256-vector on the driver (for breaks)."""
+    rows = histogram(tr, band).collect()
+    h = np.zeros(256, dtype=np.uint64)
+    for r in rows:
+        h[int(r["value"])] = int(r["count"])
+    return h
+
+
+def breaks(hist: np.ndarray) -> list[int]:
+    """Reference ``breaks`` (MapAlgebra.hs:1309-1315), driver-side."""
+    return K.breaks(hist)
+
+
+def auto_ramp(tr: TileRaster, ramp_name: str = "spectrum", band: int | None = None) -> dict:
+    """histogram → breaks → ramp, the README colour pipeline front half."""
+    return ramp(RAMP_COLOURS[ramp_name], breaks(histogram_vector(tr, band)))
+
+
+def colorize(tr: TileRaster, colour_map: dict, default=INVISIBLE) -> TileRaster:
+    """classify through an RGBA ramp → 4-plane uint8 tiles (one fused
+    local map; classify semantics = lookupLE, MapAlgebra.hs:679-682)."""
+    keys = sorted(colour_map)
+    vals = np.array([colour_map[k] for k in keys], dtype=np.uint8)  # (n, 4)
+    default = np.array(default, dtype=np.uint8)
+
+    def g(a):
+        idx = np.searchsorted(np.asarray(keys), a, side="right") - 1
+        out = np.where(
+            idx[None, :, :] >= 0,
+            vals[np.clip(idx, 0, len(keys) - 1)].transpose(2, 0, 1),
+            default[:, None, None],
+        )
+        return out.astype(np.uint8)
+
+    return tr.map(g)
+
+
+def render_png(tr: TileRaster, raster_id: str) -> bytes:
+    """Assemble one (small) raster and PNG-encode it on the driver —
+    the ``png`` export (MapAlgebra.hs:671-673). Debug/export path."""
+    arr = tr.collect_array(raster_id)
+    if arr.ndim == 3:  # (4, h, w) RGBA planes → (h, w, 4)
+        arr = np.moveaxis(arr, 0, -1)
+    return codecs.png_encode(arr)
+
+
+def grayscale(tr: TileRaster) -> TileRaster:
+    """Identity band-tagging (MapAlgebra.hs:665-667)."""
+    return tr

@@ -1,0 +1,112 @@
+"""Zonal operations — Spark-native (the reference declares them
+"Not yet implemented", MapAlgebra.hs:38; BASELINE.json north_star
+mandates raster↔vector zonal aggregation, so the semantics here are
+ours, defined GaCM-style: aggregate the value raster per zone).
+
+Two zone sources:
+
+- ``zonal_stats(values, zones)`` — zones is an aligned int raster
+  (e.g. a rasterized polygon layer); per-tile numpy partial aggregation
+  (bincount by zone) shrinks each 64Ki-cell tile to a handful of rows
+  BEFORE the shuffle, then a built-in groupBy finishes — the classic
+  partial/final split, so shuffle volume is O(zones), not O(pixels).
+- ``zonal_stats_by_cell(values)`` — zone = the tile's spatial cell_id
+  (raster↔cell-grid rollup); same partial/final shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..raster import TileRaster
+from ..tiles import decode_block
+
+_PARTIAL_SCHEMA = T.StructType(
+    [
+        T.StructField("zone", T.LongType()),
+        T.StructField("psum", T.DoubleType()),
+        T.StructField("pcnt", T.LongType()),
+        T.StructField("pmin", T.DoubleType()),
+        T.StructField("pmax", T.DoubleType()),
+    ]
+)
+
+
+def _final_agg(partials: DataFrame) -> DataFrame:
+    return partials.groupBy("zone").agg(
+        F.sum("psum").alias("zsum"),
+        F.sum("pcnt").alias("zcount"),
+        (F.sum("psum") / F.sum("pcnt")).alias("zmean"),
+        F.min("pmin").alias("zmin"),
+        F.max("pmax").alias("zmax"),
+    )
+
+
+def zonal_stats(values: TileRaster, zones: TileRaster) -> DataFrame:
+    """Zonal sum/count/mean/min/max of ``values`` per zone id in the
+    aligned ``zones`` raster. Returns (zone, zsum, zcount, zmean, zmin,
+    zmax)."""
+    values = values.strict()  # no-op when already materialized
+    zones = zones.strict()
+    joined = values.zip_with(zones, lambda v, z: (v, z))
+    cols = joined.cols
+    fn = joined.fn
+
+    def partial(batches):
+        for pdf in batches:
+            zs, sums, cnts, mins, maxs = [], [], [], [], []
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                h, w = int(row["h"]), int(row["w"])
+                v = decode_block(row[cols[0]], row["dtype"], h, w, int(row["planes"]))
+                z = decode_block(
+                    row[cols[1]], row["_m1_dtype"], h, w, int(row["_m1_planes"])
+                )
+                res_v, res_z = fn(v, z)
+                vv = np.asarray(res_v, dtype=np.float64).ravel()
+                zz = np.asarray(res_z, dtype=np.int64).ravel()
+                uniq, inv = np.unique(zz, return_inverse=True)
+                sums_ = np.bincount(inv, weights=vv)
+                cnts_ = np.bincount(inv)
+                # per-zone min/max via sorted segmentation
+                order = np.argsort(inv, kind="stable")
+                sv = vv[order]
+                bounds = np.cumsum(cnts_)[:-1]
+                mins_ = np.minimum.reduceat(sv, np.concatenate([[0], bounds]))
+                maxs_ = np.maximum.reduceat(sv, np.concatenate([[0], bounds]))
+                zs.extend(uniq.tolist())
+                sums.extend(sums_.tolist())
+                cnts.extend(cnts_.astype(np.int64).tolist())
+                mins.extend(mins_.tolist())
+                maxs.extend(maxs_.tolist())
+            yield pd.DataFrame(
+                {"zone": zs, "psum": sums, "pcnt": cnts, "pmin": mins, "pmax": maxs}
+            )
+
+    return _final_agg(joined.df.mapInPandas(partial, _PARTIAL_SCHEMA))
+
+
+def zonal_stats_by_cell(values: TileRaster) -> DataFrame:
+    """Rollup of a raster onto its spatial cells: zone = cell_id."""
+    src = values.strict().df
+
+    def partial(batches):
+        for pdf in batches:
+            rows = {"zone": [], "psum": [], "pcnt": [], "pmin": [], "pmax": []}
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                v = decode_block(
+                    row["tile"], row["dtype"], int(row["h"]), int(row["w"]), int(row["planes"])
+                ).astype(np.float64)
+                rows["zone"].append(int(row["cell_id"]))
+                rows["psum"].append(float(v.sum()))
+                rows["pcnt"].append(int(v.size))
+                rows["pmin"].append(float(v.min()))
+                rows["pmax"].append(float(v.max()))
+            yield pd.DataFrame(rows)
+
+    return _final_agg(src.mapInPandas(partial, _PARTIAL_SCHEMA))

@@ -1,0 +1,257 @@
+"""Spatial joins over the cell index: point-in-polygon, kNN, and
+raster↔vector zonal aggregation (BASELINE.json north_rule additions —
+the reference's projection layer is inert, MapAlgebra.hs:350-361).
+
+Design (all DataFrame-native):
+
+- **PIP**: polygons → covering cells (full + boundary) at a chosen
+  level; points carry their cell id.  The join is a plain equi-join on
+  ``cell_id`` — *broadcast* when the covering is small (the usual dim
+  case), shuffle-hash otherwise.  Points landing in *full* cells skip
+  the exact test entirely; only boundary-cell candidates pay the
+  vectorized ray-cast (Arrow batch, no per-row Python).
+- **kNN**: the exact path is a distance-ranked join with the query side
+  broadcast and the haversine computed in native Spark SQL expressions
+  (JVM codegen, no UDF), window row_number ≤ k.  The scale path
+  ``knn_cells`` prunes candidates to expanding cell rings first, then
+  verifies the kth distance against the unexplored-ring lower bound, so
+  it degrades gracefully to exact.
+- **raster↔vector zonal**: tile table → per-cell rollup (partial aggs)
+  → join to polygon covering cells → groupBy polygon.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import cellindex as CI
+from .raster import TileRaster
+
+DEFAULT_LEVEL = 8
+
+
+# ---------------------------------------------------------------------------
+# column helpers
+# ---------------------------------------------------------------------------
+
+
+def with_cell(df: DataFrame, level: int, lat="lat", lng="lng", out="cell_id") -> DataFrame:
+    """Attach the Morton cell id (vectorized pandas UDF)."""
+
+    @F.pandas_udf(T.LongType())
+    def cell_udf(la: pd.Series, lo: pd.Series) -> pd.Series:
+        return pd.Series(CI.latlng_to_cell(la.to_numpy(), lo.to_numpy(), level))
+
+    return df.withColumn(out, cell_udf(F.col(lat), F.col(lng)))
+
+
+def haversine_col(lat1, lng1, lat2, lng2):
+    """Great-circle distance (km) as a native Spark SQL expression —
+    stays in whole-stage codegen, no Python."""
+    rlat1, rlat2 = F.radians(lat1), F.radians(lat2)
+    dlat = rlat2 - rlat1
+    dlng = F.radians(lng2) - F.radians(lng1)
+    a = F.pow(F.sin(dlat / 2), 2) + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlng / 2), 2)
+    return 2 * F.lit(CI.EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon join
+# ---------------------------------------------------------------------------
+
+_COVER_SCHEMA = T.StructType(
+    [
+        T.StructField("poly_id", T.StringType()),
+        T.StructField("cell_id", T.LongType()),
+        T.StructField("full", T.BooleanType()),
+    ]
+)
+
+
+def polygon_cover_df(polygons: DataFrame, level: int = DEFAULT_LEVEL) -> DataFrame:
+    """polygons (poly_id, ring_lat array<double>, ring_lng array<double>)
+    → covering cells (poly_id, cell_id, full)."""
+
+    def run(batches):
+        for pdf in batches:
+            pids, cells, fulls = [], [], []
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                full, boundary = CI.cover_polygon(
+                    np.asarray(row["ring_lat"]), np.asarray(row["ring_lng"]), level
+                )
+                for c in full:
+                    pids.append(row["poly_id"]); cells.append(int(c)); fulls.append(True)
+                for c in boundary:
+                    pids.append(row["poly_id"]); cells.append(int(c)); fulls.append(False)
+            yield pd.DataFrame({"poly_id": pids, "cell_id": cells, "full": fulls})
+
+    return polygons.mapInPandas(run, _COVER_SCHEMA)
+
+
+def point_in_polygon_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    level: int = DEFAULT_LEVEL,
+    broadcast_polys: bool = True,
+) -> DataFrame:
+    """(point_id, lat, lng) ⋈ (poly_id, ring_lat, ring_lng) →
+    (point_id, poly_id) for every point inside a polygon.
+
+    Cell-join prefilter + exact ray-cast only for boundary cells.
+    """
+    pts = with_cell(points, level)
+    cover = polygon_cover_df(polygons, level)
+    rings = polygons.select("poly_id", "ring_lat", "ring_lng")
+    if broadcast_polys:
+        cover = F.broadcast(cover)
+        rings = F.broadcast(rings)
+    cand = pts.join(cover, on="cell_id", how="inner")
+    sure = cand.filter(F.col("full")).select("point_id", "poly_id")
+    maybe = cand.filter(~F.col("full")).join(rings, on="poly_id", how="inner")
+
+    @F.pandas_udf(T.BooleanType())
+    def pip_udf(lat: pd.Series, lng: pd.Series, rlat: pd.Series, rlng: pd.Series) -> pd.Series:
+        out = np.zeros(len(lat), dtype=bool)
+        la, lo = lat.to_numpy(), lng.to_numpy()
+        # group rows by polygon ring to vectorize across points
+        key = rlat.map(lambda a: tuple(a))
+        for _, idx in pd.Series(range(len(lat))).groupby(key):
+            ii = idx.to_numpy()
+            ring_lat = np.asarray(rlat.iloc[ii[0]])
+            ring_lng = np.asarray(rlng.iloc[ii[0]])
+            out[ii] = CI.point_in_polygon(la[ii], lo[ii], ring_lat, ring_lng)
+        return pd.Series(out)
+
+    verified = (
+        maybe.withColumn("inside", pip_udf("lat", "lng", "ring_lat", "ring_lng"))
+        .filter(F.col("inside"))
+        .select("point_id", "poly_id")
+    )
+    return sure.unionByName(verified)
+
+
+# ---------------------------------------------------------------------------
+# kNN
+# ---------------------------------------------------------------------------
+
+
+def knn_bruteforce(
+    queries: DataFrame, points: DataFrame, k: int = 5, broadcast_queries: bool = True
+) -> DataFrame:
+    """Exact kNN: for each query (query_id, lat, lng) the k nearest
+    (point_id, lat, lng) by haversine; ties broken by point_id.
+    Query side broadcast (typical: queries ≪ points); distance is a
+    JVM-codegen column expression, ranking via window."""
+    q = queries.select(
+        F.col("query_id"), F.col("lat").alias("qlat"), F.col("lng").alias("qlng")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    from pyspark.sql import Window
+
+    joined = points.crossJoin(q).withColumn(
+        "dist_km", haversine_col(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("point_id").asc())
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "point_id", "rank", "dist_km")
+    )
+
+
+def knn_cells(
+    spark: SparkSession,
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    level: int = 6,
+    max_ring: int = 8,
+) -> DataFrame:
+    """Cell-pruned kNN: candidates limited to expanding Chebyshev rings
+    of cells around each query, with a correctness check — a query's
+    result is only accepted once its kth distance is ≤ the minimum
+    possible distance of the first unexplored ring; stragglers fall back
+    to brute force.  At scale this turns a full cross join into a few
+    ring-local joins."""
+    pts = with_cell(points, level).persist()
+    qs = with_cell(queries, level, out="qcell").select(
+        "query_id", F.col("lat").alias("qlat"), F.col("lng").alias("qlng"), "qcell"
+    )
+
+    # expand each query to its ring-<=max_ring cells (driver-free)
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ring_udf(cells: pd.Series) -> pd.Series:
+        return cells.map(lambda c: [int(x) for x in CI.cell_ring(int(c), max_ring)])
+
+    cand = (
+        qs.withColumn("cells", ring_udf(F.col("qcell")))
+        .withColumn("cell_id", F.explode("cells"))
+        .drop("cells")
+        .join(pts, on="cell_id", how="inner")
+        .withColumn(
+            "dist_km", haversine_col(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng"))
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("point_id").asc())
+    topk = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "point_id", "rank", "dist_km")
+    )
+    # guarantee bound: ring max_ring at this level spans at least
+    # (max_ring-1) * cell_height degrees of latitude in every direction;
+    # queries whose kth neighbour is farther fall back to brute force.
+    cell_deg = 180.0 / (1 << level)
+    bound_km = (max_ring - 1) * cell_deg * 111.0  # 1 deg lat ≈ 111 km
+    per_q = topk.groupBy("query_id").agg(
+        F.count("*").alias("found"), F.max("dist_km").alias("kth")
+    )
+    bad = per_q.filter((F.col("found") < k) | (F.col("kth") > bound_km)).select("query_id")
+    n_bad = bad.count()
+    if n_bad == 0:
+        return topk
+    fallback = knn_bruteforce(
+        queries.join(bad, on="query_id", how="inner"), points, k
+    )
+    good = topk.join(bad, on="query_id", how="left_anti")
+    return good.unionByName(fallback)
+
+
+# ---------------------------------------------------------------------------
+# raster ↔ vector zonal aggregation
+# ---------------------------------------------------------------------------
+
+
+def zonal_stats_by_polygon(
+    values: TileRaster, polygons: DataFrame, level: int | None = None
+) -> DataFrame:
+    """Aggregate a tile raster over polygons: tiles roll up to their
+    anchor cells (partial agg — pixels never shuffle), covering cells of
+    each polygon select them, groupBy(poly_id) finishes."""
+    from .operators.zonal import zonal_stats_by_cell
+
+    # infer level from the tiles' cell ids unless given
+    if level is None:
+        some = values.strict().df.select("cell_id").first()
+        level = int(CI.cell_to_xy(np.asarray([some["cell_id"]]))[2][0])
+    rolled = zonal_stats_by_cell(values).withColumnRenamed("zone", "cell_id")
+    cover = F.broadcast(polygon_cover_df(polygons, level))
+    return (
+        rolled.join(cover, on="cell_id", how="inner")
+        .groupBy("poly_id")
+        .agg(
+            F.sum("zsum").alias("zsum"),
+            F.sum("zcount").alias("zcount"),
+            (F.sum("zsum") / F.sum("zcount")).alias("zmean"),
+            F.min("zmin").alias("zmin"),
+            F.max("zmax").alias("zmax"),
+        )
+    )

@@ -1,0 +1,195 @@
+"""Pipeline-level Spark tests: datagen → ingest → color/zonal/spatial."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapalgebra_spark import codecs, datagen, ingest
+from mapalgebra_spark import cellindex as CI
+from mapalgebra_spark import kernels as K
+from mapalgebra_spark import raster as R
+from mapalgebra_spark import spatial as SP
+from mapalgebra_spark.operators import color as CO
+from mapalgebra_spark.operators import focal as FO
+from mapalgebra_spark.operators import zonal as Z
+
+pytestmark = pytest.mark.spark
+
+
+def test_datagen_deterministic_and_decodable(spark):
+    df = datagen.generate_images_df(spark, 12).collect()
+    assert len(df) == 12
+    for row in df:
+        pix = codecs.decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+        assert pix.shape[0] == row["h"] and pix.shape[1] == row["w"]
+        # per-row invariant (input_hint): decode(bytes) == generator array
+        rgba = int(row["image_id"][3:]) % 7 == 3
+        ref = datagen.render_pixels(int(row["image_id"][3:]), row["w"], row["h"], rgba)
+        assert np.array_equal(pix, ref)
+        assert row["phash"] == codecs.phash64(ref)
+        assert row["caption"] == f"synthetic terrain {int(row['image_id'][3:])} seed42"
+
+
+def test_ingest_tiles_roundtrip(spark):
+    images = datagen.generate_images_df(spark, 6)
+    tr = ingest.tiles_from_images(images, tile_size=256)
+    # raster 0 is 256x256 gray raw -> 1 tile
+    arr = tr.collect_array("img00000000")
+    ref = datagen.render_pixels(0, 256, 256, False)
+    assert np.array_equal(arr, ref)
+    # image 3 is RGBA (i%7==3): 4 bands
+    bands = (
+        tr.df.filter(F.col("raster_id") == "img00000003")
+        .select("band").distinct().count()
+    )
+    assert bands == 4
+    # partial tiles: image 2 is 300x200 -> 2x1 tile grid at 256
+    t2 = tr.df.filter(F.col("raster_id") == "img00000002")
+    assert t2.count() == 2
+    arr2 = tr.collect_array("img00000002")
+    assert arr2.shape == (200, 300)
+    assert np.array_equal(arr2, datagen.render_pixels(2, 300, 200, False))
+
+
+def test_flagship_focal_over_ingested_images(spark):
+    """decode → tile → fmean+fgradient across image tile boundaries."""
+    images = datagen.generate_images_df(spark, 3).filter(F.col("image_id") == "img00000001")
+    tr = ingest.tiles_from_images(images, tile_size=256)  # 512² → 2x2 tiles
+    outs = FO.focal_multi(tr, ["fmean", "fgradient"])
+    ref_pix = datagen.render_pixels(1, 512, 512, False)
+    np.testing.assert_allclose(
+        outs["fmean"].collect_array("img00000001"),
+        K.k_fmean(K.pad_block(ref_pix.astype(np.float64), K.BORDER_FILL, 0)),
+    )
+    np.testing.assert_allclose(
+        outs["fgradient"].collect_array("img00000001"),
+        K.k_gradient(K.pad_block(ref_pix.astype(np.float64), K.BORDER_REFLECT)),
+        atol=1e-12,
+    )
+
+
+def test_histogram_breaks_colorize_png(spark):
+    r, c = np.mgrid[0:512, 0:512]
+    pix = ((r * 7 + c * 13) % 256).astype(np.uint8)
+    tr = R.TileRaster.from_arrays(spark, {"g": pix}, tile_size=256)
+    hist = CO.histogram_vector(tr)
+    assert int(hist.sum()) == 262144
+    bs = CO.breaks(hist)
+    assert len(bs) == 10 and bs == sorted(bs)
+    np.testing.assert_array_equal(hist, K.block_histogram(pix))
+    cm = CO.ramp(CO.RAMP_COLOURS["spectrum"], bs)
+    colored = CO.colorize(tr, cm)
+    arr = colored.collect_array("g")
+    assert arr.shape == (4, 512, 512)
+    png_bytes = CO.render_png(colored, "g")
+    back = codecs.png_decode(png_bytes)
+    assert back.shape == (512, 512, 4)
+    np.testing.assert_array_equal(np.moveaxis(back, -1, 0), arr)
+
+
+def test_zonal_stats(spark):
+    rng = np.random.default_rng(3)
+    vals = rng.normal(size=(50, 60)) * 10
+    zones = rng.integers(0, 5, size=(50, 60)).astype(np.int64)
+    v = R.TileRaster.from_arrays(spark, {"r": vals}, tile_size=16)
+    z = R.TileRaster.from_arrays(spark, {"r": zones}, tile_size=16)
+    got = {r["zone"]: r for r in Z.zonal_stats(v, z).collect()}
+    for zone in range(5):
+        sel = vals[zones == zone]
+        assert got[zone]["zcount"] == sel.size
+        assert got[zone]["zsum"] == pytest.approx(sel.sum())
+        assert got[zone]["zmean"] == pytest.approx(sel.mean())
+        assert got[zone]["zmin"] == pytest.approx(sel.min())
+        assert got[zone]["zmax"] == pytest.approx(sel.max())
+
+
+def _points_df(spark, n=400, seed=7):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame(
+        {
+            "point_id": [f"p{i}" for i in range(n)],
+            "lat": rng.uniform(-60, 60, n),
+            "lng": rng.uniform(-170, 170, n),
+        }
+    )
+    return spark.createDataFrame(pdf), pdf
+
+
+def _polys_df(spark, m=8, seed=11):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for j in range(m):
+        clat, clng = rng.uniform(-50, 50), rng.uniform(-150, 150)
+        nv = rng.integers(5, 12)
+        angs = np.sort(rng.uniform(0, 2 * np.pi, nv))
+        rad = rng.uniform(3, 12)
+        rows.append(
+            {
+                "poly_id": f"poly{j}",
+                "ring_lat": (clat + rad * np.sin(angs)).tolist(),
+                "ring_lng": (clng + rad * 1.3 * np.cos(angs)).tolist(),
+            }
+        )
+    return spark.createDataFrame(pd.DataFrame(rows)), rows
+
+
+def test_point_in_polygon_join_vs_bruteforce(spark):
+    points, pdf = _points_df(spark)
+    polys, rows = _polys_df(spark)
+    got = {
+        (r["point_id"], r["poly_id"])
+        for r in SP.point_in_polygon_join(points, polys, level=8).collect()
+    }
+    exp = set()
+    for row in rows:
+        inside = CI.point_in_polygon(
+            pdf["lat"].to_numpy(), pdf["lng"].to_numpy(),
+            np.asarray(row["ring_lat"]), np.asarray(row["ring_lng"]),
+        )
+        for pid in pdf["point_id"].to_numpy()[inside]:
+            exp.add((pid, row["poly_id"]))
+    assert got == exp
+
+
+def test_knn_bruteforce_and_cells_agree(spark):
+    points, pdf = _points_df(spark, n=500, seed=8)
+    qrows = pd.DataFrame(
+        {"query_id": ["q0", "q1", "q2"], "lat": [10.0, -30.0, 55.0], "lng": [20.0, -60.0, 100.0]}
+    )
+    queries = spark.createDataFrame(qrows)
+    brute = SP.knn_bruteforce(queries, points, k=5).collect()
+    # oracle: numpy brute force
+    for q in qrows.itertuples():
+        d = CI.haversine_km(q.lat, q.lng, pdf["lat"].to_numpy(), pdf["lng"].to_numpy())
+        order = np.lexsort((pdf["point_id"].to_numpy(), d))[:5]
+        exp = [pdf["point_id"].iloc[i] for i in order]
+        got = [r["point_id"] for r in sorted(
+            (r for r in brute if r["query_id"] == q.query_id), key=lambda r: r["rank"]
+        )]
+        assert got == exp
+    cells = SP.knn_cells(spark, queries, points, k=5, level=5, max_ring=6).collect()
+    bset = {(r["query_id"], r["point_id"], r["rank"]) for r in brute}
+    cset = {(r["query_id"], r["point_id"], r["rank"]) for r in cells}
+    assert bset == cset
+
+
+def test_zonal_by_polygon(spark):
+    images = datagen.generate_images_df(spark, 8)
+    tr = ingest.tiles_from_images(images, tile_size=256, cell_level=3)
+    polys, _ = _polys_df(spark, m=4, seed=12)
+    out = SP.zonal_stats_by_polygon(tr, polys, level=3).collect()
+    # structural check + exact check against a driver-side recomputation
+    rolled = {r["cell_id"]: r for r in Z.zonal_stats_by_cell(tr).withColumnRenamed("zone", "cell_id").collect()}
+    cover = SP.polygon_cover_df(polys, 3).collect()
+    exp = {}
+    for c in cover:
+        if c["cell_id"] in rolled:
+            e = exp.setdefault(c["poly_id"], [0.0, 0])
+            e[0] += rolled[c["cell_id"]]["zsum"]
+            e[1] += rolled[c["cell_id"]]["zcount"]
+    got = {r["poly_id"]: (r["zsum"], r["zcount"]) for r in out}
+    assert set(got) == set(exp)
+    for pid in exp:
+        assert got[pid][0] == pytest.approx(exp[pid][0])
+        assert got[pid][1] == exp[pid][1]
