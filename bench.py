@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver runs this per round (BENCH_r{N}.json).
+
+Headline metric (BASELINE.json): **tiles/sec for focal fmean+fgradient
+over cell-indexed 256x256 tiles** on the synthetic image+caption table,
+plus the scaling criterion: the same job at local[8] vs local[32] on the
+same input must show throughput scaling efficiency >= 0.8
+(eff = (tput@32 / tput@8) / 4) — the sandbox realization of the
+north_rule's "N vs 4N executors" (no real cluster here).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <tiles/sec @ full cores>, "unit": "...",
+   "queries": {...}, "sf": ...}
+and writes BENCH/BASELINE.md with the scaling table.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_BENCH_IMAGES (default 640),
+SPARK_GRAFT_SKIP_SCALING=1 to skip the local[8] pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", min(32, os.cpu_count() or 8)))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "640"))
+SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+
+IMG_PATH = os.path.join(REPO, "BENCH", f"images_{N_IMAGES}.parquet")
+
+
+def ensure_images(n: int) -> str:
+    """Materialize the deterministic image table once (n 512x512-ish
+    images; SF=0.1-style sample). Generation cost excluded from timing."""
+    if not os.path.exists(os.path.join(IMG_PATH, "_SUCCESS")):
+        from mapalgebra_spark.datagen import write_images
+        from mapalgebra_spark.session import get_spark
+
+        spark = get_spark(app="bench_datagen", master=f"local[{CPUS}]")
+        write_images(spark, n, IMG_PATH)
+        spark.stop()
+    return IMG_PATH
+
+
+def run_flagship(cores: int, img_path: str, runs: int = 2) -> dict:
+    """fmean+fgradient over every tile of the image table; returns
+    tiles/sec (best of ``runs``).  Protocol: the tile table is decoded,
+    hash-partitioned on the halo key and persisted OUTSIDE the timed
+    region (at 100 TB this is the bucketed table at rest); a tiny focal
+    job warms the Python workers; the timed region is then exactly one
+    strip shuffle + one cogrouped dual-kernel stage + output
+    materialization — the steady-state per-stage cost a long pipeline
+    pays."""
+    from mapalgebra_spark.ingest import tiles_from_images
+    from mapalgebra_spark.operators import focal as FO
+    from mapalgebra_spark.raster import TileRaster
+    from mapalgebra_spark.session import get_spark
+    from mapalgebra_spark.tiles import KEY_COLS
+
+    spark = get_spark(app=f"bench_{cores}", master=f"local[{cores}]",
+                      shuffle_partitions=cores * 2)
+    try:
+        images = spark.read.parquet(img_path)
+        tr = tiles_from_images(images, tile_size=256, as_float=True)
+        src = tr.df.repartition(cores * 2, *KEY_COLS).persist()
+        n_tiles = src.count()  # materialize input outside the timed region
+        # warm the Python workers on every partition (imports, Arrow
+        # buffers) with a shuffle-free identity pass
+        warm = TileRaster(src).map(lambda a: a + 0).strict().df.count()
+        assert warm == n_tiles
+
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            outs = FO.focal_multi(
+                TileRaster(src), ["fmean", "fgradient"], repartition=False
+            )
+            got = outs["fmean"].df.count()  # materializes the persisted combined df
+            assert outs["fgradient"].df.count() == got
+            dt = time.perf_counter() - t0
+            assert got == n_tiles, (got, n_tiles)
+            outs["fmean"]._combined.unpersist()
+            best = dt if best is None else min(best, dt)
+        return {"cores": cores, "tiles": n_tiles, "sec": best, "tps": n_tiles / best}
+    finally:
+        spark.stop()
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    """Per-query wall times for the SURVEY §2 registry at sf_dir."""
+    from mapalgebra_spark.session import get_spark
+    import __spark_entry__ as E
+
+    spark = get_spark(app="bench_queries", master=f"local[{CPUS}]")
+    times: dict[str, float] = {}
+    try:
+        qs = E.queries()
+        for name in sorted(qs):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.stop()
+    return times
+
+
+def main():
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    img_path = ensure_images(N_IMAGES)
+
+    full = run_flagship(CPUS, img_path)
+    scaling = None
+    if not SKIP_SCALING:
+        low_cores = max(1, CPUS // 4)
+        low = run_flagship(low_cores, img_path)
+        eff = (full["tps"] / low["tps"]) / (CPUS / low_cores)
+        scaling = {"low": low, "high": full, "efficiency": round(eff, 3)}
+
+    qtimes = run_queries(SF_DIR)
+
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("# BENCH/BASELINE.md — measured at build time\n\n")
+        f.write("Flagship: focal fmean+fgradient over cell-indexed 256x256 tiles\n")
+        f.write(f"of {N_IMAGES} synthetic images (input_hint schema), one halo join.\n\n")
+        f.write("| cores | tiles | sec | tiles/sec |\n|---|---|---|---|\n")
+        if scaling:
+            lo = scaling["low"]
+            f.write(f"| {lo['cores']} | {lo['tiles']} | {lo['sec']:.2f} | {lo['tps']:.1f} |\n")
+        f.write(
+            f"| {full['cores']} | {full['tiles']} | {full['sec']:.2f} | {full['tps']:.1f} |\n\n"
+        )
+        if scaling:
+            f.write(
+                f"Scaling efficiency (tput@{CPUS} / tput@{max(1, CPUS // 4)}) / 4 = "
+                f"**{scaling['efficiency']}** (target >= 0.8, north_rule)\n\n"
+            )
+        f.write(f"Per-query seconds at {SF_DIR}:\n\n| query | sec |\n|---|---|\n")
+        for k, v in sorted(qtimes.items()):
+            f.write(f"| {k} | {v} |\n")
+
+    out = {
+        "metric": "tiles/sec focal fmean+fgradient over 256x256 tiles",
+        "value": round(full["tps"], 1),
+        "unit": "tiles/sec",
+        "queries": qtimes,
+        "sf": SF_DIR,
+        "scaling_efficiency": scaling["efficiency"] if scaling else None,
+        "tiles": full["tiles"],
+        "cores": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

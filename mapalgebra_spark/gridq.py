@@ -1,0 +1,169 @@
+"""Oracle-checkable queries over a raster grid derived from lineitem.
+
+The driver (``__spark_entry__.py``) compares each Spark query against a
+DuckDB SQL oracle at sf=0.01.  To give the oracle *real* coverage of the
+engine (FIXTURES.md §3), lineitem rows are laid on a GxG grid
+deterministically, the Spark side runs the **actual tile engine**
+(grid → tiles → local/focal/zonal operators → rows), and the SQL side
+re-expresses the operator semantics relationally (3x3 self-joins with
+the reference's border modes emulated per mode: Fill 0 = LEFT JOIN,
+Edge/Reflect = clamped indices — identical for a 1px halo —, Continue =
+mirrored indices).
+
+Grid derivation (identical text in both dialects):
+
+    rn  = row_number() over (order by l_orderkey, l_linenumber)
+    G   = floor(sqrt(count(*)))          -- rows beyond G*G dropped
+    gy  = floor((rn-1)/G); gx = (rn-1) % G
+    val = l_quantity                      -- double
+    val2= l_extendedprice/1000.0          -- double
+    val3= l_discount*100.0                -- double
+    ival / ival2 / ival3 = floor-casts mod 4 -- small ints for equality ops
+    zone= l_suppkey % 8
+
+The grid path is the *correctness harness*; the 100 TB hot path is the
+image/tile pipeline (ingest.py + operators/). Driver-side scalars here
+are limited to count() (G) and the 256-bin histogram.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .raster import TileRaster
+from .tiles import TILE_SCHEMA, encode_block, decode_block
+
+GRID_TILE = 64
+
+# --- shared grid construction ------------------------------------------------
+
+
+def grid_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    G = int(math.floor(math.sqrt(n)))
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    g = (
+        li.select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_suppkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= G * G)
+        .select(
+            F.floor((F.col("rn") - 1) / G).cast("int").alias("gy"),
+            ((F.col("rn") - 1) % G).cast("int").alias("gx"),
+            F.col("l_quantity").alias("val"),
+            (F.col("l_extendedprice") / 1000.0).alias("val2"),
+            (F.col("l_discount") * 100.0).alias("val3"),
+            (F.floor(F.col("l_quantity")).cast("long") % 4).alias("ival"),
+            (F.floor(F.col("l_extendedprice")).cast("long") % 4).alias("ival2"),
+            (F.floor(F.col("l_discount") * 100.0).cast("long") % 4).alias("ival3"),
+            (F.col("l_suppkey") % 8).alias("zone"),
+        )
+    )
+    return g, G
+
+
+#: identical derivation in DuckDB SQL (views pre-registered by driver)
+GRID_CTE = """
+dims AS (SELECT CAST(floor(sqrt(count(*))) AS BIGINT) AS g FROM lineitem),
+ranked AS (
+  SELECT l_quantity, l_extendedprice, l_discount, l_suppkey,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+),
+grid AS (
+  SELECT CAST(floor((rn-1)/g) AS INT) AS gy,
+         CAST((rn-1)%g AS INT) AS gx,
+         l_quantity AS val,
+         l_extendedprice/1000.0 AS val2,
+         l_discount*100.0 AS val3,
+         CAST(floor(l_quantity) AS BIGINT)%4 AS ival,
+         CAST(floor(l_extendedprice) AS BIGINT)%4 AS ival2,
+         CAST(floor(l_discount*100.0) AS BIGINT)%4 AS ival3,
+         l_suppkey%8 AS zone
+  FROM ranked, dims WHERE rn <= g*g
+),
+offs(dy, dx) AS (
+  VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+)
+"""
+
+
+def grid_to_tiles(grid: DataFrame, G: int, col: str, dtype: str, rid: str) -> TileRaster:
+    """Lay one grid column into a tiled raster (distributed; G known)."""
+    ts = GRID_TILE
+    nt = (G + ts - 1) // ts
+
+    gd = grid.select(
+        F.floor(F.col("gy") / ts).cast("int").alias("ty"),
+        F.floor(F.col("gx") / ts).cast("int").alias("tx"),
+        "gy",
+        "gx",
+        F.col(col).alias("v"),
+    )
+
+    def build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ty, tx = int(key[0]), int(key[1])
+        h = min(ts, G - ty * ts)
+        w = min(ts, G - tx * ts)
+        block = np.zeros((h, w), dtype=np.dtype(dtype))
+        block[pdf["gy"].to_numpy() - ty * ts, pdf["gx"].to_numpy() - tx * ts] = pdf[
+            "v"
+        ].to_numpy()
+        return pd.DataFrame(
+            [
+                dict(
+                    raster_id=rid, band=0, ty=ty, tx=tx, h=h, w=w,
+                    nty=nt, ntx=nt, rh=G, rw=G, dtype=dtype, planes=1,
+                    cell_id=0, tile=encode_block(block),
+                )
+            ]
+        )
+
+    return TileRaster(gd.groupby("ty", "tx").applyInPandas(build, TILE_SCHEMA))
+
+
+_GRID_OUT = "gy int, gx int, out double"
+
+
+def tiles_to_rows(tr: TileRaster, out_name: str = "out", nan_to_null: bool = False) -> DataFrame:
+    """Explode a (single-raster) tile table back to (gy, gx, out) rows —
+    oracle-comparison path only."""
+    ts = GRID_TILE
+
+    schema = T.StructType(
+        [
+            T.StructField("gy", T.IntegerType()),
+            T.StructField("gx", T.IntegerType()),
+            T.StructField(out_name, T.DoubleType()),
+        ]
+    )
+
+    def explode(batches):
+        for pdf in batches:
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                h, w = int(row["h"]), int(row["w"])
+                block = decode_block(row["tile"], row["dtype"], h, w, int(row["planes"])).astype(
+                    np.float64
+                )
+                yy, xx = np.mgrid[0:h, 0:w]
+                yield pd.DataFrame(
+                    {
+                        "gy": (yy + int(row["ty"]) * ts).ravel().astype(np.int32),
+                        "gx": (xx + int(row["tx"]) * ts).ravel().astype(np.int32),
+                        out_name: block.ravel(),
+                    }
+                )
+
+    out = tr.strict().df.mapInPandas(explode, schema)
+    if nan_to_null:
+        out = out.withColumn(
+            out_name, F.when(F.isnan(F.col(out_name)), F.lit(None)).otherwise(F.col(out_name))
+        )
+    return out

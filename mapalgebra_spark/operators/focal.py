@@ -214,6 +214,7 @@ def focal_multi(
             F.col(f"tile_{s.name}").alias("tile"),
         ).select(*[f.name for f in TILE_SCHEMA.fields])
         result[s.name] = TileRaster(sel)
+        result[s.name]._combined = combined  # for lifecycle management
     return result
 
 

@@ -1,0 +1,641 @@
+"""The driver-contract query registry: (Spark callable, DuckDB oracle)
+pairs consumed by ``__spark_entry__.py``.
+
+Each Spark query exercises the REAL engine (tile tables, halo joins,
+partial-agg zonal, cell-index spatial joins) and ends in plain rows so
+the DuckDB oracle can check it relationally at sf=0.01.  SQL border-mode
+emulation: Fill 0 → LEFT JOIN (+COALESCE), Edge → clamped indices,
+Reflect → clamp (identical for a 1-px halo), Continue → mirrored
+indices.  Float hazards are controlled: l_quantity is integral so
+focal/zonal sums are exact; computed doubles are rounded to 6dp with
+identical rounding (HALF-AWAY) on both sides; expression *order* matches
+the numpy kernels where association matters (see flength).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import gridq
+from . import spatial as SP
+from .gridq import GRID_CTE, grid_df, grid_to_tiles, tiles_to_rows
+from .operators import color as CO
+from .operators import focal as FO
+from .operators import zonal as Z
+from . import raster as R
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def _val_tiles(spark, sf_dir, col="val", dtype="float64", rid=None):
+    g, G = grid_df(spark, sf_dir)
+    return grid_to_tiles(g, G, col, dtype, rid or f"grid_{col}"), g, G
+
+
+# --- SQL fragments ----------------------------------------------------------
+
+# clamped neighbour coordinates (Edge border; == Reflect for 1px halo)
+_CLAMP = (
+    "JOIN grid n ON n.gy = least(greatest(g.gy+o.dy, 0), CAST(d.g AS INT)-1) "
+    "AND n.gx = least(greatest(g.gx+o.dx, 0), CAST(d.g AS INT)-1)"
+)
+# mirrored neighbour coordinates (Continue border)
+_MIRROR = (
+    "JOIN grid n ON n.gy = (CASE WHEN g.gy+o.dy < 0 THEN 1 "
+    "WHEN g.gy+o.dy > CAST(d.g AS INT)-1 THEN CAST(d.g AS INT)-2 ELSE g.gy+o.dy END) "
+    "AND n.gx = (CASE WHEN g.gx+o.dx < 0 THEN 1 "
+    "WHEN g.gx+o.dx > CAST(d.g AS INT)-1 THEN CAST(d.g AS INT)-2 ELSE g.gx+o.dx END)"
+)
+# exact coordinates, missing neighbours NULL (Fill border)
+_FILL = "LEFT JOIN grid n ON n.gy = g.gy+o.dy AND n.gx = g.gx+o.dx"
+
+# 9-neighbour pivot (one row per cell, one column per direction)
+
+
+def _pivot9(join: str, valcol: str = "val") -> str:
+    cases = []
+    for name, dy, dx in (
+        ("nw", -1, -1), ("no", -1, 0), ("ne", -1, 1),
+        ("we", 0, -1), ("fo", 0, 0), ("ea", 0, 1),
+        ("sw", 1, -1), ("so", 1, 0), ("se", 1, 1),
+    ):
+        cases.append(
+            f"max(CASE WHEN o.dy={dy} AND o.dx={dx} THEN n.{valcol} END) AS {name}"
+        )
+    return (
+        f"SELECT g.gy, g.gx, {', '.join(cases)} "
+        f"FROM grid g CROSS JOIN offs o CROSS JOIN dims d {join} "
+        "GROUP BY g.gy, g.gx"
+    )
+
+
+_FACETS = (
+    "(nw+no+we+fo)/4.0 AS fnw, (no+fo)/2.0 AS fno, (no+ne+fo+ea)/4.0 AS fne, "
+    "(we+fo)/2.0 AS fwe, fo AS ffo, (fo+ea)/2.0 AS fea, "
+    "(we+fo+sw+so)/4.0 AS fsw, (fo+so)/2.0 AS fso, (fo+ea+so+se)/4.0 AS fse"
+)
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+
+def q_classify(spark, sf_dir):
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    out = tr.classify({10.0: 1.0, 25.0: 2.0, 40.0: 3.0}, 0.0)
+    return tiles_to_rows(out, "cls")
+
+
+def q_lmax(spark, sf_dir):
+    g, G = grid_df(spark, sf_dir)
+    a = grid_to_tiles(g, G, "val", "float64", "a")
+    b = grid_to_tiles(g, G, "val2", "float64", "b")
+    b = R.TileRaster(b.df.withColumn("raster_id", F.lit("a")))
+    return tiles_to_rows(R.lmax(a, b), "vmax")
+
+
+def q_lmin(spark, sf_dir):
+    g, G = grid_df(spark, sf_dir)
+    a = grid_to_tiles(g, G, "val", "float64", "a")
+    b = grid_to_tiles(g, G, "val2", "float64", "b")
+    b = R.TileRaster(b.df.withColumn("raster_id", F.lit("a")))
+    return tiles_to_rows(R.lmin(a, b), "vmin")
+
+
+def _three(spark, sf_dir, cols=("val", "val2", "val3"), dtype="float64"):
+    g, G = grid_df(spark, sf_dir)
+    out = []
+    for c in cols:
+        t = grid_to_tiles(g, G, c, dtype, "a" if not out else f"b{len(out)}")
+        if out:
+            t = R.TileRaster(t.df.withColumn("raster_id", F.lit("a")))
+        out.append(t)
+    return out
+
+
+def q_lmean(spark, sf_dir):
+    return _r6(tiles_to_rows(R.lmean(_three(spark, sf_dir)), "vmean"), "vmean")
+
+
+def q_lvariance(spark, sf_dir):
+    return _r6(tiles_to_rows(R.lvariance(_three(spark, sf_dir)), "vvar"), "vvar")
+
+
+def q_lvariety(spark, sf_dir):
+    return tiles_to_rows(
+        R.lvariety(_three(spark, sf_dir, ("ival", "ival2", "ival3"), "int64")), "vvariety"
+    )
+
+
+def q_lmajority(spark, sf_dir):
+    return tiles_to_rows(
+        R.lmajority(_three(spark, sf_dir, ("ival", "ival2", "ival3"), "int64")), "vmaj"
+    )
+
+
+def q_lminority(spark, sf_dir):
+    return tiles_to_rows(
+        R.lminority(_three(spark, sf_dir, ("ival", "ival2", "ival3"), "int64")), "vmin"
+    )
+
+
+def q_histogram(spark, sf_dir):
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "uint8")
+    return CO.histogram(tr).withColumnRenamed("count", "n").filter(F.col("n") > 0)
+
+
+def q_zonal(spark, sf_dir):
+    g, G = grid_df(spark, sf_dir)
+    v = grid_to_tiles(g, G, "val", "float64", "a")
+    z = grid_to_tiles(g, G, "zone", "int64", "a")
+    return Z.zonal_stats(v, z)
+
+
+def _focal_rows(spark, sf_dir, op, out_name, col="val", dtype="float64", round6=False, nan_to_null=False):
+    tr, _, _ = _val_tiles(spark, sf_dir, col, dtype)
+    out = FO.focal(tr, op)
+    rows = tiles_to_rows(out, out_name, nan_to_null=nan_to_null)
+    return _r6(rows, out_name) if round6 else rows
+
+
+def q_fsum(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fsum", "fsum")
+
+
+def q_fmean(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fmean", "fmean", round6=True)
+
+
+def q_fmax(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fmax", "fmax")
+
+
+def q_fmin(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fmin", "fmin")
+
+
+def q_fvariety(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fvariety", "fvariety", col="ival", dtype="int64")
+
+
+def q_fmajority(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fmajority", "fmaj", col="ival", dtype="int64")
+
+
+def q_fminority(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fminority", "fmino", col="ival", dtype="int64")
+
+
+def q_fpercentage(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fpercentage", "fpct", col="ival", dtype="int64")
+
+
+def q_fpercentile(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fpercentile", "fple")
+
+
+def q_fvolume(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fvolume", "fvol", round6=True)
+
+
+def q_fgradient(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "fgradient", "fgrad", round6=True)
+
+
+def q_faspect(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "faspect", "fasp", round6=True, nan_to_null=True)
+
+
+def q_flinkage(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "flinkage", "flink", col="ival", dtype="int64")
+
+
+def q_flength(spark, sf_dir):
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    return tiles_to_rows(FO.flength(FO.flinkage(tr)), "flen")
+
+
+def q_fdownstream(spark, sf_dir):
+    # rows-only (order-dependent tolerance fold — not reasonably SQL)
+    return _focal_rows(spark, sf_dir, "fdownstream", "fdown")
+
+
+def q_fupstream(spark, sf_dir):
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    down = FO.fdownstream(tr).strict(persist=True)
+    return tiles_to_rows(FO.fupstream(down), "fup")
+
+
+# --- spatial ------------------------------------------------------------------
+
+
+def _customer_points(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return c.select(
+        F.col("c_custkey").cast("string").alias("point_id"),
+        ((F.col("c_custkey") * 37 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 35900) / 100.0 - 179.5).alias("lng"),
+    )
+
+
+def _supplier_queries(spark, sf_dir):
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return s.select(
+        F.col("s_suppkey").cast("string").alias("query_id"),
+        ((F.col("s_suppkey") * 53 % 16000) / 100.0 - 80.0).alias("lat"),
+        ((F.col("s_suppkey") * 97 % 35000) / 100.0 - 175.0).alias("lng"),
+    )
+
+
+def q_knn(spark, sf_dir):
+    pts = _customer_points(spark, sf_dir)
+    qs = _supplier_queries(spark, sf_dir)
+    return SP.knn_bruteforce(qs, pts, k=5).select("query_id", "point_id", "rank")
+
+
+def q_knn_cells(spark, sf_dir):
+    # the scale path must agree with the exact oracle
+    pts = _customer_points(spark, sf_dir)
+    qs = _supplier_queries(spark, sf_dir)
+    return SP.knn_cells(spark, qs, pts, k=5, level=5, max_ring=8).select(
+        "query_id", "point_id", "rank"
+    )
+
+
+def _nation_rects(spark, sf_dir):
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return n.select(
+        F.col("n_nationkey").cast("string").alias("poly_id"),
+        ((F.col("n_nationkey") * 7 % 100) - 50 + 0.005).alias("lat0"),
+        ((F.col("n_nationkey") * 7 % 100) - 50 + 0.005 + 15.99).alias("lat1"),
+        ((F.col("n_nationkey") * 13 % 300) - 150 + 0.005).alias("lng0"),
+        ((F.col("n_nationkey") * 13 % 300) - 150 + 0.005 + 24.99).alias("lng1"),
+    )
+
+
+def q_pip(spark, sf_dir):
+    """PIP through the real cover+raycast machinery; rectangles so the
+    oracle is a BETWEEN join."""
+    pts = _customer_points(spark, sf_dir)
+    rect = _nation_rects(spark, sf_dir)
+    polys = rect.select(
+        "poly_id",
+        F.array("lat0", "lat0", "lat1", "lat1").alias("ring_lat"),
+        F.array("lng0", "lng1", "lng1", "lng0").alias("ring_lng"),
+    )
+    return SP.point_in_polygon_join(pts, polys, level=7)
+
+
+# --- documents / training-data ops ---------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n_copies")
+    )
+
+
+def q_token_count(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_calc"),
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_tokens"),
+    )
+
+
+def q_doc_quality(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.col("text"), " ", -1))
+    return d.select(
+        "doc_id",
+        F.round(F.length("text") / toks, 6).alias("avg_tok_span"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))).alias(
+            "n_spaces"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+ORACLE: dict[str, str] = {}
+
+ORACLE["classify_grid"] = f"""
+WITH {GRID_CTE}
+SELECT gy, gx, CAST(CASE WHEN val >= 40.0 THEN 3.0 WHEN val >= 25.0 THEN 2.0
+                         WHEN val >= 10.0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS cls
+FROM grid
+"""
+
+ORACLE["lmax_grid"] = f"WITH {GRID_CTE} SELECT gy, gx, greatest(val, val2) AS vmax FROM grid"
+ORACLE["lmin_grid"] = f"WITH {GRID_CTE} SELECT gy, gx, least(val, val2) AS vmin FROM grid"
+ORACLE["lmean_grid"] = (
+    f"WITH {GRID_CTE} SELECT gy, gx, round((val + val2 + val3)/3.0, 6) AS vmean FROM grid"
+)
+ORACLE["lvariance_grid"] = f"""
+WITH {GRID_CTE}
+SELECT gy, gx,
+  round(((val-m)*(val-m) + (val2-m)*(val2-m) + (val3-m)*(val3-m))/2.0, 6) AS vvar
+FROM (SELECT gy, gx, val, val2, val3, (val + val2 + val3)/3.0 AS m FROM grid)
+"""
+ORACLE["lvariety_grid"] = f"""
+WITH {GRID_CTE}
+SELECT gy, gx, CAST(1 + (CASE WHEN ival2 <> ival THEN 1 ELSE 0 END)
+                      + (CASE WHEN ival3 <> ival AND ival3 <> ival2 THEN 1 ELSE 0 END)
+               AS DOUBLE) AS vvariety
+FROM grid
+"""
+ORACLE["lmajority_grid"] = f"""
+WITH {GRID_CTE}
+SELECT gy, gx, CAST(CASE WHEN ival = ival2 THEN ival WHEN ival = ival3 THEN ival
+                         WHEN ival2 = ival3 THEN ival2
+                         ELSE least(ival, ival2, ival3) END AS DOUBLE) AS vmaj
+FROM grid
+"""
+ORACLE["lminority_grid"] = f"""
+WITH {GRID_CTE}
+SELECT gy, gx, CAST(CASE WHEN ival = ival2 AND ival = ival3 THEN ival
+                         WHEN ival = ival2 THEN ival3
+                         WHEN ival = ival3 THEN ival2
+                         WHEN ival2 = ival3 THEN ival
+                         ELSE least(ival, ival2, ival3) END AS DOUBLE) AS vmin
+FROM grid
+"""
+ORACLE["histogram_grid"] = f"""
+WITH {GRID_CTE}
+SELECT CAST(ival AS INT) AS value, count(*) AS n FROM grid GROUP BY 1
+"""
+ORACLE["zonal_grid"] = f"""
+WITH {GRID_CTE}
+SELECT zone, sum(val) AS zsum, count(*) AS zcount, sum(val)/count(*) AS zmean,
+       min(val) AS zmin, max(val) AS zmax
+FROM grid GROUP BY zone
+"""
+ORACLE["fsum_grid"] = f"""
+WITH {GRID_CTE}
+SELECT g.gy, g.gx, sum(n.val) AS fsum
+FROM grid g CROSS JOIN offs o {_FILL}
+GROUP BY g.gy, g.gx
+"""
+ORACLE["fmean_grid"] = f"""
+WITH {GRID_CTE}
+SELECT g.gy, g.gx, round(sum(COALESCE(n.val, 0))/9.0, 6) AS fmean
+FROM grid g CROSS JOIN offs o {_FILL}
+GROUP BY g.gy, g.gx
+"""
+ORACLE["fmax_grid"] = f"""
+WITH {GRID_CTE}
+SELECT g.gy, g.gx, max(n.val) AS fmax
+FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_CLAMP}
+GROUP BY g.gy, g.gx
+"""
+ORACLE["fmin_grid"] = f"""
+WITH {GRID_CTE}
+SELECT g.gy, g.gx, min(n.val) AS fmin
+FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_CLAMP}
+GROUP BY g.gy, g.gx
+"""
+ORACLE["fvariety_grid"] = f"""
+WITH {GRID_CTE}
+SELECT g.gy, g.gx, CAST(count(DISTINCT n.ival) AS DOUBLE) AS fvariety
+FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_CLAMP}
+GROUP BY g.gy, g.gx
+"""
+ORACLE["fmajority_grid"] = f"""
+WITH {GRID_CTE},
+nbr AS (
+  SELECT g.gy, g.gx, n.ival AS v
+  FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_MIRROR}
+),
+cnt AS (SELECT gy, gx, v, count(*) AS c FROM nbr GROUP BY gy, gx, v)
+SELECT gy, gx, CAST(v AS DOUBLE) AS fmaj
+FROM (SELECT gy, gx, v, row_number() OVER (PARTITION BY gy, gx ORDER BY c DESC, v ASC) AS rn FROM cnt)
+WHERE rn = 1
+"""
+ORACLE["fminority_grid"] = f"""
+WITH {GRID_CTE},
+nbr AS (
+  SELECT g.gy, g.gx, n.ival AS v
+  FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_MIRROR}
+),
+cnt AS (SELECT gy, gx, v, count(*) AS c FROM nbr GROUP BY gy, gx, v)
+SELECT gy, gx, CAST(v AS DOUBLE) AS fmino
+FROM (SELECT gy, gx, v, row_number() OVER (PARTITION BY gy, gx ORDER BY c ASC, v ASC) AS rn FROM cnt)
+WHERE rn = 1
+"""
+ORACLE["fpercentage_grid"] = f"""
+WITH {GRID_CTE}
+SELECT g.gy, g.gx,
+  sum(CASE WHEN NOT (o.dy = 0 AND o.dx = 0) AND n.ival = g.ival THEN 1 ELSE 0 END)/8.0 AS fpct
+FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_MIRROR}
+GROUP BY g.gy, g.gx
+"""
+ORACLE["fpercentile_grid"] = f"""
+WITH {GRID_CTE}
+SELECT g.gy, g.gx,
+  sum(CASE WHEN NOT (o.dy = 0 AND o.dx = 0) AND n.val < g.val THEN 1 ELSE 0 END)/8.0 AS fple
+FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_MIRROR}
+GROUP BY g.gy, g.gx
+"""
+ORACLE["fvolume_grid"] = f"""
+WITH {GRID_CTE},
+nb AS ({_pivot9(_CLAMP)}),
+fc AS (SELECT gy, gx, {_FACETS} FROM nb)
+SELECT gy, gx,
+  round((8.0*ffo + 2.0*(fnw + fno + fne + fwe + fea + fsw + fso + fse))/24.0, 6) AS fvol
+FROM fc
+"""
+ORACLE["fgradient_grid"] = f"""
+WITH {GRID_CTE},
+nb AS ({_pivot9(_CLAMP)}),
+fc AS (SELECT gy, gx, {_FACETS} FROM nb),
+ab AS (SELECT gy, gx, ((fsw + fso + fse) - (fnw + fno + fne))/3.0 AS a,
+                      ((fne + fea + fse) - (fnw + fwe + fsw))/3.0 AS b FROM fc)
+SELECT gy, gx,
+  round(6.283185307179586/2.0 - acos(-1.0/sqrt(a*a + b*b + 1.0)), 6) AS fgrad
+FROM ab
+"""
+ORACLE["faspect_grid"] = f"""
+WITH {GRID_CTE},
+nb AS ({_pivot9(_CLAMP)}),
+fc AS (SELECT gy, gx, {_FACETS} FROM nb),
+ab AS (SELECT gy, gx, ((fsw + fso + fse) - (fnw + fno + fne))/3.0 AS a,
+                      ((fne + fea + fse) - (fnw + fwe + fsw))/3.0 AS b FROM fc)
+SELECT gy, gx,
+  CASE WHEN abs(a) < 0.0061359 AND abs(b) < 0.0061359 THEN NULL
+       ELSE round(acos(CASE WHEN a/sqrt(a*a + b*b) > 1.0 THEN 1.0
+                            WHEN a/sqrt(a*a + b*b) < -1.0 THEN -1.0
+                            ELSE a/sqrt(a*a + b*b) END), 6) END AS fasp
+FROM ab
+"""
+ORACLE["flinkage_grid"] = f"""
+WITH {GRID_CTE},
+nb AS ({_pivot9(_FILL, "ival")}),
+eq AS (SELECT g2.gy, g2.gx,
+  CASE WHEN COALESCE(nb.no, 0) = g2.ival THEN 1 ELSE 0 END AS bn,
+  CASE WHEN COALESCE(nb.we, 0) = g2.ival THEN 1 ELSE 0 END AS bw,
+  CASE WHEN COALESCE(nb.ea, 0) = g2.ival THEN 1 ELSE 0 END AS be,
+  CASE WHEN COALESCE(nb.so, 0) = g2.ival THEN 1 ELSE 0 END AS bs,
+  CASE WHEN COALESCE(nb.nw, 0) = g2.ival THEN 1 ELSE 0 END AS cnw,
+  CASE WHEN COALESCE(nb.ne, 0) = g2.ival THEN 1 ELSE 0 END AS cne,
+  CASE WHEN COALESCE(nb.sw, 0) = g2.ival THEN 1 ELSE 0 END AS csw,
+  CASE WHEN COALESCE(nb.se, 0) = g2.ival THEN 1 ELSE 0 END AS cse
+  FROM nb JOIN grid g2 ON g2.gy = nb.gy AND g2.gx = nb.gx)
+SELECT gy, gx, CAST(
+  2*bn + 8*bw + 16*be + 64*bs
+  + (CASE WHEN cnw = 1 AND bn = 0 AND bw = 0 THEN 1 ELSE 0 END)
+  + (CASE WHEN cne = 1 AND bn = 0 AND be = 0 THEN 4 ELSE 0 END)
+  + (CASE WHEN csw = 1 AND bw = 0 AND bs = 0 THEN 32 ELSE 0 END)
+  + (CASE WHEN cse = 1 AND be = 0 AND bs = 0 THEN 128 ELSE 0 END)
+AS DOUBLE) AS flink
+FROM eq
+"""
+# flength: sum in the SAME association order as kernels._flength_lut
+# (axis bits 1,3,4,6 at 0.5 each, then diagonal bits 0,2,5,7 at 1/sqrt(2))
+ORACLE["flength_grid"] = f"""
+WITH {GRID_CTE},
+nb AS ({_pivot9(_FILL, "ival")}),
+eq AS (SELECT g2.gy, g2.gx,
+  CASE WHEN COALESCE(nb.no, 0) = g2.ival THEN 1 ELSE 0 END AS bn,
+  CASE WHEN COALESCE(nb.we, 0) = g2.ival THEN 1 ELSE 0 END AS bw,
+  CASE WHEN COALESCE(nb.ea, 0) = g2.ival THEN 1 ELSE 0 END AS be,
+  CASE WHEN COALESCE(nb.so, 0) = g2.ival THEN 1 ELSE 0 END AS bs,
+  CASE WHEN COALESCE(nb.nw, 0) = g2.ival THEN 1 ELSE 0 END AS cnw,
+  CASE WHEN COALESCE(nb.ne, 0) = g2.ival THEN 1 ELSE 0 END AS cne,
+  CASE WHEN COALESCE(nb.sw, 0) = g2.ival THEN 1 ELSE 0 END AS csw,
+  CASE WHEN COALESCE(nb.se, 0) = g2.ival THEN 1 ELSE 0 END AS cse
+  FROM nb JOIN grid g2 ON g2.gy = nb.gy AND g2.gx = nb.gx),
+bits AS (SELECT gy, gx, bn, bw, be, bs,
+  (CASE WHEN cnw = 1 AND bn = 0 AND bw = 0 THEN 1 ELSE 0 END) AS dnw,
+  (CASE WHEN cne = 1 AND bn = 0 AND be = 0 THEN 1 ELSE 0 END) AS dne,
+  (CASE WHEN csw = 1 AND bw = 0 AND bs = 0 THEN 1 ELSE 0 END) AS dsw,
+  (CASE WHEN cse = 1 AND be = 0 AND bs = 0 THEN 1 ELSE 0 END) AS dse
+  FROM eq)
+SELECT gy, gx,
+  ((((((((0.0 + bn*0.5) + bw*0.5) + be*0.5) + bs*0.5)
+      + dnw*(1.0/sqrt(2.0))) + dne*(1.0/sqrt(2.0)))
+      + dsw*(1.0/sqrt(2.0))) + dse*(1.0/sqrt(2.0))) AS flen
+FROM bits
+"""
+
+_HAVERSINE = (
+    "2*6371.0088*asin(sqrt(least("
+    "power(sin((radians({lat2})-radians({lat1}))/2), 2)"
+    " + cos(radians({lat1}))*cos(radians({lat2}))"
+    "*power(sin((radians({lng2})-radians({lng1}))/2), 2), 1.0)))"
+)
+
+_POINTS_SQL = """
+points AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS point_id,
+         (c_custkey*37 % 17000)/100.0 - 85.0 AS lat,
+         (c_custkey*73 % 35900)/100.0 - 179.5 AS lng
+  FROM customer
+)
+"""
+_QUERIES_SQL = """
+qs AS (
+  SELECT CAST(s_suppkey AS VARCHAR) AS query_id,
+         (s_suppkey*53 % 16000)/100.0 - 80.0 AS qlat,
+         (s_suppkey*97 % 35000)/100.0 - 175.0 AS qlng
+  FROM supplier
+)
+"""
+
+_knn_sql = f"""
+WITH {_POINTS_SQL.strip()}, {_QUERIES_SQL.strip()}
+SELECT query_id, point_id, rank FROM (
+  SELECT q.query_id, p.point_id,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_HAVERSINE.format(lat1="q.qlat", lng1="q.qlng", lat2="p.lat", lng2="p.lng")} ASC,
+                    p.point_id ASC
+         ) AS rank
+  FROM qs q CROSS JOIN points p
+) WHERE rank <= 5
+"""
+ORACLE["knn_exact"] = _knn_sql
+ORACLE["knn_cells"] = _knn_sql
+
+ORACLE["pip_rect"] = f"""
+WITH {_POINTS_SQL.strip()},
+rects AS (
+  SELECT CAST(n_nationkey AS VARCHAR) AS poly_id,
+         (n_nationkey*7 % 100) - 50 + 0.005 AS lat0,
+         (n_nationkey*7 % 100) - 50 + 0.005 + 15.99 AS lat1,
+         (n_nationkey*13 % 300) - 150 + 0.005 AS lng0,
+         (n_nationkey*13 % 300) - 150 + 0.005 + 24.99 AS lng1
+  FROM nation
+)
+SELECT p.point_id, r.poly_id
+FROM points p JOIN rects r
+  ON p.lat > r.lat0 AND p.lat < r.lat1 AND p.lng > r.lng0 AND p.lng < r.lng1
+"""
+
+ORACLE["dedup_exact"] = (
+    "SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n_copies "
+    "FROM documents GROUP BY md5(text)"
+)
+ORACLE["token_count"] = (
+    "SELECT doc_id, length(text) AS n_chars_calc, "
+    "len(string_split(text, ' ')) AS n_tokens FROM documents"
+)
+ORACLE["doc_quality"] = (
+    "SELECT doc_id, round(length(text)/CAST(len(string_split(text, ' ')) AS DOUBLE), 6)"
+    " AS avg_tok_span, "
+    "length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents"
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "classify_grid": q_classify,
+    "lmax_grid": q_lmax,
+    "lmin_grid": q_lmin,
+    "lmean_grid": q_lmean,
+    "lvariance_grid": q_lvariance,
+    "lvariety_grid": q_lvariety,
+    "lmajority_grid": q_lmajority,
+    "lminority_grid": q_lminority,
+    "histogram_grid": q_histogram,
+    "zonal_grid": q_zonal,
+    "fsum_grid": q_fsum,
+    "fmean_grid": q_fmean,
+    "fmax_grid": q_fmax,
+    "fmin_grid": q_fmin,
+    "fvariety_grid": q_fvariety,
+    "fmajority_grid": q_fmajority,
+    "fminority_grid": q_fminority,
+    "fpercentage_grid": q_fpercentage,
+    "fpercentile_grid": q_fpercentile,
+    "fvolume_grid": q_fvolume,
+    "fgradient_grid": q_fgradient,
+    "faspect_grid": q_faspect,
+    "flinkage_grid": q_flinkage,
+    "flength_grid": q_flength,
+    "fdownstream_grid": q_fdownstream,  # rows-only
+    "fupstream_grid": q_fupstream,  # rows-only
+    "knn_exact": q_knn,
+    "knn_cells": q_knn_cells,
+    "pip_rect": q_pip,
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "doc_quality": q_doc_quality,
+}
