@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .raster import TileRaster
-from .tiles import TILE_SCHEMA, encode_block, decode_block
+from .tiles import TILE_SCHEMA, aux_blobs, encode_block, decode_block
 
 GRID_TILE = 64
 
@@ -120,7 +120,7 @@ def grid_to_tiles(grid: DataFrame, G: int, col: str, dtype: str, rid: str) -> Ti
                 dict(
                     raster_id=rid, band=0, ty=ty, tx=tx, h=h, w=w,
                     nty=nt, ntx=nt, rh=G, rw=G, dtype=dtype, planes=1,
-                    cell_id=0, tile=encode_block(block),
+                    cell_id=0, tile=encode_block(block), **aux_blobs(block),
                 )
             ]
         )

@@ -23,7 +23,7 @@ from . import codecs
 from .cellindex import latlng_to_cell
 from .datagen import synthetic_latlng
 from .raster import TileRaster
-from .tiles import TILE_SCHEMA, encode_block, split_into_tiles
+from .tiles import TILE_SCHEMA, aux_blobs, encode_block, split_into_tiles
 
 DEFAULT_CELL_LEVEL = 12
 
@@ -72,6 +72,8 @@ def tiles_from_images(
                         out["planes"].append(1)
                         out["cell_id"].append(cell)
                         out["tile"].append(encode_block(block))
+                        for k, v in aux_blobs(block).items():
+                            out[k].append(v)
             yield pd.DataFrame(out)
 
     return TileRaster(images.mapInPandas(run, TILE_SCHEMA))

@@ -1,0 +1,109 @@
+"""Checkpoint-resumable job runner with per-partition lineage + metrics
+tables (BASELINE.json north_rule).
+
+An engine ``Job`` is a DAG of named stages, each a function
+``(spark, inputs: dict[str, DataFrame]) -> DataFrame``.  Every stage's
+output is written to ``<root>/data/<stage>/`` as Parquet via an
+Iceberg-style catalog (catalog.py: snapshot log + schema + row counts —
+plain Parquet underneath since the sandbox has no Iceberg jars, behind
+an abstraction where a real catalog slots in).
+
+Resume semantics: a stage whose snapshot is committed (atomic catalog
+update AFTER a successful write) is skipped on re-run and its output
+read back — so a killed job re-runs only uncommitted stages.  Spark's
+own task retry handles partition-level recovery inside a stage; the
+lineage table records per-partition row counts and bytes for audit, and
+the metrics table records per-stage wall time.
+
+Lineage rows:  (job_id, stage, partition_id, rows, approx_bytes, ts)
+Metrics rows:  (job_id, stage, wall_sec, rows, n_partitions, ts,
+                status)
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import Catalog
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable[[SparkSession, dict], DataFrame]
+    inputs: list[str] = field(default_factory=list)
+
+
+class Job:
+    def __init__(self, spark: SparkSession, root: str, job_id: str):
+        self.spark = spark
+        self.root = root
+        self.job_id = job_id
+        self.catalog = Catalog(root)
+        self.stages: list[Stage] = []
+
+    def stage(self, name: str, inputs: list[str] | None = None):
+        def deco(fn):
+            self.stages.append(Stage(name, fn, inputs or []))
+            return fn
+
+        return deco
+
+    # -- lineage/metrics sinks (append-only parquet tables) ----------------
+
+    def _append(self, table: str, df: DataFrame):
+        df.write.mode("append").parquet(os.path.join(self.root, table))
+
+    def _record_lineage(self, stage: str, out_path: str):
+        df = self.spark.read.parquet(out_path)
+        lin = (
+            df.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .count()
+            .select(
+                F.lit(self.job_id).alias("job_id"),
+                F.lit(stage).alias("stage"),
+                "partition_id",
+                F.col("count").alias("rows"),
+                F.lit(None).cast("long").alias("approx_bytes"),
+                F.current_timestamp().alias("ts"),
+            )
+        )
+        self._append("lineage", lin)
+
+    def _record_metrics(self, stage: str, wall: float, rows: int, nparts: int, status: str):
+        m = self.spark.createDataFrame(
+            [(self.job_id, stage, float(wall), int(rows), int(nparts), status)],
+            "job_id string, stage string, wall_sec double, rows long, n_partitions int, status string",
+        ).withColumn("ts", F.current_timestamp())
+        self._append("metrics", m)
+
+    # -- execution ------------------------------------------------------------
+
+    def run(self, resume: bool = True) -> dict[str, DataFrame]:
+        outputs: dict[str, DataFrame] = {}
+        for st in self.stages:
+            out_path = os.path.join(self.root, "data", st.name)
+            snap = self.catalog.current_snapshot(st.name)
+            if resume and snap is not None:
+                outputs[st.name] = self.spark.read.parquet(out_path)
+                self._record_metrics(st.name, 0.0, snap["row_count"], snap["n_files"], "skipped")
+                continue
+            t0 = time.perf_counter()
+            df = st.fn(self.spark, {k: outputs[k] for k in st.inputs})
+            df.write.mode("overwrite").parquet(out_path)
+            back = self.spark.read.parquet(out_path)
+            rows = back.count()
+            nparts = back.rdd.getNumPartitions()
+            # commit AFTER a fully successful write → resume-safe
+            self.catalog.commit_snapshot(st.name, out_path, back.schema.json(), rows)
+            self._record_lineage(st.name, out_path)
+            self._record_metrics(st.name, time.perf_counter() - t0, rows, nparts, "ok")
+            outputs[st.name] = back
+        return outputs

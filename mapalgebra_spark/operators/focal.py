@@ -11,16 +11,21 @@ of neighbouring tile keys**, shipping only edge strips:
    tile, up to 8 strips addressed to its in-range neighbours — 2 rows
    (1xW), 2 cols (Hx1), 4 corners (1x1).  For 256x256 tiles this is
    ~1.6% of the raster bytes; *only this* crosses the shuffle.
-2. ``cogroup`` of the tile table with the strips on (raster_id, band,
-   ty, tx).  When the tile table is already hash-partitioned on the
-   key (one ``repartition`` that every downstream focal stage reuses,
-   or a bucketed table at rest), Catalyst inserts **no exchange on the
-   big side** — verified by plan assertion in tests.
-3. ``applyInPandas`` assembles the (h+2, w+2) block per tile
-   (``tiles.assemble_halo`` — bit-identical to np.pad of the full
-   raster, border mode per op) and runs **all requested kernels in one
-   pass**, emitting one output column per op.  Running fmean+fgradient
-   (the flagship metric) therefore costs ONE strip shuffle, not two.
+2. the strips collapse to one row per receiving tile with a JVM-side
+   ``collect_list`` aggregation, and join back to the tile table on
+   (raster_id, band, ty, tx) with a shuffle-hash hint: when the tile
+   table is already hash-partitioned on the key (one ``repartition``
+   that every downstream focal stage reuses, or a bucketed table at
+   rest) Catalyst inserts **no exchange and no sort on the big side** —
+   verified by plan assertion in tests.
+3. one ``mapInPandas`` over the joined rows assembles the (h+2, w+2)
+   block per tile (``tiles.assemble_halo`` — bit-identical to np.pad
+   of the full raster, border mode per op) and runs **all requested
+   kernels in one pass**, emitting one output column per op.  Running
+   fmean+fgradient (the flagship metric) therefore costs ONE strip
+   shuffle, not two.  (A per-key cogroup was measured at ~50 core-ms
+   per tile of fixed overhead; the batched join path amortizes the
+   Python/Arrow roundtrip over a whole 64-tile batch.)
 
 Chained focal ops need a materialization barrier between stages —
 mirroring the reference's ``fupstream . strict S . fdownstream``
@@ -41,7 +46,6 @@ from .. import kernels as K
 from ..raster import TileRaster
 from ..tiles import (
     KEY_COLS,
-    STRIP_SENDS,
     TILE_SCHEMA,
     assemble_halo,
     decode_block,
@@ -87,48 +91,66 @@ FOCAL_OPS: dict[str, FocalSpec] = {
     "fupstream": FocalSpec("fupstream", K.k_fupstream, K.BORDER_FILL, 0),
 }
 
-_STRIP_SCHEMA = T.StructType(
-    [
-        T.StructField("raster_id", T.StringType()),
-        T.StructField("band", T.IntegerType()),
-        T.StructField("ty", T.IntegerType()),
-        T.StructField("tx", T.IntegerType()),
-        T.StructField("pos", T.IntegerType()),
-        T.StructField("sh", T.IntegerType()),
-        T.StructField("sw", T.IntegerType()),
-        T.StructField("sdtype", T.StringType()),
-        T.StructField("splanes", T.IntegerType()),
-        T.StructField("strip", T.BinaryType()),
-    ]
+#: JVM-side strip routing: (aux column at sender, dty, dtx, pos at
+#: receiver, strip height expr, strip width expr).  A tile's north edge
+#: blob is its north neighbour's S strip, its NW corner pixel the
+#: NW-diagonal neighbour's SE corner, etc. (see tiles.STRIP_SENDS for
+#: the python-side equivalent used by tests).
+_STRIP_ROUTES = (
+    # (aux col, dty, dtx, pos, sh spec, sw spec); "h"/"w" = tile dims
+    ("en", -1, 0, 1, "1", "w"),    # → north nbr's STRIP_S
+    ("es", 1, 0, 0, "1", "w"),     # → south nbr's STRIP_N
+    ("ew", 0, -1, 3, "h", "1"),    # → west nbr's STRIP_E
+    ("ee", 0, 1, 2, "h", "1"),     # → east nbr's STRIP_W
+    ("cnw", -1, -1, 7, "1", "1"),  # → NW nbr's STRIP_SE
+    ("cne", -1, 1, 6, "1", "1"),   # → NE nbr's STRIP_SW
+    ("csw", 1, -1, 5, "1", "1"),   # → SW nbr's STRIP_NE
+    ("cse", 1, 1, 4, "1", "1"),    # → SE nbr's STRIP_NW
 )
 
 
-def _emit_strips(batches):
-    """Narrow stage: each tile addresses its 1-px edge strips to the
-    in-range neighbours that will need them for halo assembly."""
-    for pdf in batches:
-        out = {k: [] for k in ("raster_id", "band", "ty", "tx", "pos", "sh", "sw", "sdtype", "splanes", "strip")}
-        for r in range(len(pdf)):
-            row = pdf.iloc[r]
-            h, w, planes = int(row["h"]), int(row["w"]), int(row["planes"])
-            nty, ntx = int(row["nty"]), int(row["ntx"])
-            ty, tx = int(row["ty"]), int(row["tx"])
-            core = decode_block(row["tile"], row["dtype"], h, w, planes)
-            for dty, dtx, pos, slicer in STRIP_SENDS:
-                dy, dx = ty + dty, tx + dtx
-                if 0 <= dy < nty and 0 <= dx < ntx:
-                    s = slicer(core)
-                    out["raster_id"].append(row["raster_id"])
-                    out["band"].append(row["band"])
-                    out["ty"].append(dy)
-                    out["tx"].append(dx)
-                    out["pos"].append(pos)
-                    out["sh"].append(s.shape[-2])
-                    out["sw"].append(s.shape[-1])
-                    out["sdtype"].append(row["dtype"])
-                    out["splanes"].append(planes)
-                    out["strip"].append(encode_block(s))
-        yield pd.DataFrame(out)
+def _dim(spec: str):
+    return F.lit(1) if spec == "1" else F.col(spec)
+
+
+def _strips_jvm(src):
+    """Edge-strip exchange as a pure JVM projection (no Python, no tile
+    bytes read): explode the 8 addressed aux blobs, drop out-of-range
+    destinations.  ~1.6% of the raster bytes; the ONLY shuffled data."""
+    entries = [
+        F.struct(
+            (F.col("ty") + dty).alias("ty"),
+            (F.col("tx") + dtx).alias("tx"),
+            F.lit(pos).alias("pos"),
+            _dim(sh).cast("int").alias("sh"),
+            _dim(sw).cast("int").alias("sw"),
+            F.col("dtype").alias("sdtype"),
+            F.col("planes").alias("splanes"),
+            F.col(aux).alias("strip"),
+        )
+        for aux, dty, dtx, pos, sh, sw in _STRIP_ROUTES
+    ]
+    return (
+        src.select(
+            "raster_id", "band", "nty", "ntx",
+            F.explode(F.array(*entries)).alias("s"),
+        )
+        .filter(
+            (F.col("s.ty") >= 0)
+            & (F.col("s.ty") < F.col("nty"))
+            & (F.col("s.tx") >= 0)
+            & (F.col("s.tx") < F.col("ntx"))
+        )
+        .select(
+            "raster_id",
+            "band",
+            F.col("s.ty").alias("ty"),
+            F.col("s.tx").alias("tx"),
+            F.struct("s.pos", "s.sh", "s.sw", "s.sdtype", "s.splanes", "s.strip").alias(
+                "strip_entry"
+            ),
+        )
+    )
 
 
 def focal_multi(
@@ -150,59 +172,82 @@ def focal_multi(
         src = src.repartition(*(
             [num_partitions] if num_partitions else []
         ), *[F.col(c) for c in KEY_COLS])
-    strips = src.mapInPandas(_emit_strips, _STRIP_SCHEMA)
+    strips = _strips_jvm(src)
+    halo = strips.groupBy(*KEY_COLS).agg(F.collect_list("strip_entry").alias("halo"))
+    joined = src.join(halo.hint("shuffle_hash"), on=KEY_COLS, how="left")
 
-    out_fields = [f for f in TILE_SCHEMA.fields if f.name not in ("tile", "dtype", "planes")]
+    from ..tiles import AUX_COLS, aux_blobs
+
+    computed = {"tile", "dtype", "planes", *AUX_COLS}
+    plain_cols = [f.name for f in TILE_SCHEMA.fields if f.name not in computed]
+    out_fields = [f for f in TILE_SCHEMA.fields if f.name not in computed]
     for s in specs:
         out_fields = out_fields + [
             T.StructField(f"tile_{s.name}", T.BinaryType()),
             T.StructField(f"dtype_{s.name}", T.StringType()),
             T.StructField(f"planes_{s.name}", T.IntegerType()),
-        ]
+        ] + [T.StructField(f"{c}_{s.name}", T.BinaryType()) for c in AUX_COLS]
     out_schema = T.StructType(out_fields)
-    plain_cols = [f.name for f in TILE_SCHEMA.fields if f.name not in ("tile", "dtype", "planes")]
 
-    def run(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left) == 0:
-            return pd.DataFrame({f.name: [] for f in out_fields})
-        assert len(left) == 1, f"duplicate tile key {key}"
-        row = left.iloc[0]
-        h, w, planes = int(row["h"]), int(row["w"]), int(row["planes"])
-        core = decode_block(row["tile"], row["dtype"], h, w, planes)
-        strips_raw = {}
-        for i in range(len(right)):
-            srow = right.iloc[i]
-            strips_raw[int(srow["pos"])] = decode_block(
-                srow["strip"], srow["sdtype"], int(srow["sh"]), int(srow["sw"]), int(srow["splanes"])
-            )
-        ty, tx = int(row["ty"]), int(row["tx"])
-        at = dict(
-            at_n=ty == 0,
-            at_s=ty == int(row["nty"]) - 1,
-            at_w=tx == 0,
-            at_e=tx == int(row["ntx"]) - 1,
-        )
-        out = {c: [row[c]] for c in plain_cols}
-        padded_cache: dict[tuple, np.ndarray] = {}
-        for s in specs:
-            c = core.astype(np.dtype(s.cast)) if s.cast else core
-            ck = (s.mode, s.fill if s.mode == K.BORDER_FILL else None, s.cast)
-            if ck not in padded_cache:
-                st = strips_raw
-                if s.cast:
-                    st = {k: v.astype(np.dtype(s.cast)) for k, v in strips_raw.items()}
-                padded_cache[ck] = assemble_halo(c, st, s.mode, s.fill, **at)
-            res = np.asarray(s.kernel(padded_cache[ck]))
-            out[f"tile_{s.name}"] = [encode_block(res)]
-            out[f"dtype_{s.name}"] = [str(res.dtype)]
-            out[f"planes_{s.name}"] = [res.shape[0] if res.ndim == 3 else 1]
-        return pd.DataFrame(out)
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            out = {c: pdf[c] for c in plain_cols}
+            res_cols = {f"tile_{s.name}": [None] * n for s in specs}
+            res_dt = {s.name: [None] * n for s in specs}
+            res_pl = {s.name: [1] * n for s in specs}
+            res_aux = {(s.name, c): [None] * n for s in specs for c in AUX_COLS}
+            cols = {
+                c: pdf[c].to_numpy()
+                for c in ("ty", "tx", "nty", "ntx", "h", "w", "planes")
+            }
+            tiles_col = pdf["tile"].to_numpy()
+            dtype_col = pdf["dtype"].to_numpy()
+            halo_col = pdf["halo"].to_numpy()
+            for r in range(n):
+                h, w, planes = int(cols["h"][r]), int(cols["w"][r]), int(cols["planes"][r])
+                core = decode_block(tiles_col[r], dtype_col[r], h, w, planes)
+                strips_raw = {}
+                hl = halo_col[r]
+                if hl is not None:
+                    for srow in hl:
+                        strips_raw[int(srow["pos"])] = decode_block(
+                            srow["strip"], srow["sdtype"], int(srow["sh"]),
+                            int(srow["sw"]), int(srow["splanes"]),
+                        )
+                ty, tx = int(cols["ty"][r]), int(cols["tx"][r])
+                at = dict(
+                    at_n=ty == 0,
+                    at_s=ty == int(cols["nty"][r]) - 1,
+                    at_w=tx == 0,
+                    at_e=tx == int(cols["ntx"][r]) - 1,
+                )
+                padded_cache: dict[tuple, np.ndarray] = {}
+                for s in specs:
+                    c = core.astype(np.dtype(s.cast)) if s.cast else core
+                    ck = (s.mode, s.fill if s.mode == K.BORDER_FILL else None, s.cast)
+                    if ck not in padded_cache:
+                        st = strips_raw
+                        if s.cast:
+                            st = {
+                                k: v.astype(np.dtype(s.cast)) for k, v in strips_raw.items()
+                            }
+                        padded_cache[ck] = assemble_halo(c, st, s.mode, s.fill, **at)
+                    res = np.asarray(s.kernel(padded_cache[ck]))
+                    res_cols[f"tile_{s.name}"][r] = encode_block(res)
+                    res_dt[s.name][r] = str(res.dtype)
+                    res_pl[s.name][r] = res.shape[0] if res.ndim == 3 else 1
+                    for c, v in aux_blobs(res).items():
+                        res_aux[(s.name, c)][r] = v
+            for s in specs:
+                out[f"tile_{s.name}"] = res_cols[f"tile_{s.name}"]
+                out[f"dtype_{s.name}"] = res_dt[s.name]
+                out[f"planes_{s.name}"] = res_pl[s.name]
+                for c in AUX_COLS:
+                    out[f"{c}_{s.name}"] = res_aux[(s.name, c)]
+            yield pd.DataFrame(out)
 
-    combined = (
-        src.groupby(*KEY_COLS)
-        .cogroup(strips.groupby(*KEY_COLS))
-        .applyInPandas(run, out_schema)
-    )
+    combined = joined.mapInPandas(run, out_schema)
     if len(specs) > 1:
         combined = combined.persist()
     result = {}
@@ -212,6 +257,7 @@ def focal_multi(
             F.col(f"dtype_{s.name}").alias("dtype"),
             F.col(f"planes_{s.name}").alias("planes"),
             F.col(f"tile_{s.name}").alias("tile"),
+            *[F.col(f"{c}_{s.name}").alias(c) for c in AUX_COLS],
         ).select(*[f.name for f in TILE_SCHEMA.fields])
         result[s.name] = TileRaster(sel)
         result[s.name]._combined = combined  # for lifecycle management

@@ -43,26 +43,42 @@ def _val_tiles(spark, sf_dir, col="val", dtype="float64", rid=None):
 
 
 # --- SQL fragments ----------------------------------------------------------
+#
+# Neighbour coordinates are materialized in a ``coords`` CTE and the
+# grid join happens on PLAIN columns (cy, cx) — join keys computed in
+# the ON clause defeat DuckDB's hash-join planning and degrade to a
+# nested loop (observed: minutes instead of ~1s at sf0.01).
 
-# clamped neighbour coordinates (Edge border; == Reflect for 1px halo)
-_CLAMP = (
-    "JOIN grid n ON n.gy = least(greatest(g.gy+o.dy, 0), CAST(d.g AS INT)-1) "
-    "AND n.gx = least(greatest(g.gx+o.dx, 0), CAST(d.g AS INT)-1)"
+# clamped (Edge border; == Reflect for a 1px halo)
+_COORDS_CLAMP = (
+    "coords AS (SELECT g.gy, g.gx, o.dy, o.dx, "
+    "least(greatest(g.gy+o.dy, 0), CAST(d.g AS INT)-1) AS cy, "
+    "least(greatest(g.gx+o.dx, 0), CAST(d.g AS INT)-1) AS cx "
+    "FROM grid g CROSS JOIN offs o CROSS JOIN dims d)"
 )
-# mirrored neighbour coordinates (Continue border)
-_MIRROR = (
-    "JOIN grid n ON n.gy = (CASE WHEN g.gy+o.dy < 0 THEN 1 "
-    "WHEN g.gy+o.dy > CAST(d.g AS INT)-1 THEN CAST(d.g AS INT)-2 ELSE g.gy+o.dy END) "
-    "AND n.gx = (CASE WHEN g.gx+o.dx < 0 THEN 1 "
-    "WHEN g.gx+o.dx > CAST(d.g AS INT)-1 THEN CAST(d.g AS INT)-2 ELSE g.gx+o.dx END)"
+# mirrored (Continue border)
+_COORDS_MIRROR = (
+    "coords AS (SELECT g.gy, g.gx, o.dy, o.dx, "
+    "(CASE WHEN g.gy+o.dy < 0 THEN 1 WHEN g.gy+o.dy > CAST(d.g AS INT)-1 "
+    "THEN CAST(d.g AS INT)-2 ELSE g.gy+o.dy END) AS cy, "
+    "(CASE WHEN g.gx+o.dx < 0 THEN 1 WHEN g.gx+o.dx > CAST(d.g AS INT)-1 "
+    "THEN CAST(d.g AS INT)-2 ELSE g.gx+o.dx END) AS cx "
+    "FROM grid g CROSS JOIN offs o CROSS JOIN dims d)"
 )
-# exact coordinates, missing neighbours NULL (Fill border)
-_FILL = "LEFT JOIN grid n ON n.gy = g.gy+o.dy AND n.gx = g.gx+o.dx"
+# exact (Fill border; missing neighbours NULL via LEFT JOIN)
+_COORDS_FILL = (
+    "coords AS (SELECT g.gy, g.gx, o.dy, o.dx, g.gy+o.dy AS cy, g.gx+o.dx AS cx "
+    "FROM grid g CROSS JOIN offs o)"
+)
+
+_JOIN_INNER = "FROM coords c JOIN grid n ON n.gy = c.cy AND n.gx = c.cx"
+_JOIN_LEFT = "FROM coords c LEFT JOIN grid n ON n.gy = c.cy AND n.gx = c.cx"
 
 # 9-neighbour pivot (one row per cell, one column per direction)
 
 
 def _pivot9(join: str, valcol: str = "val") -> str:
+    """SELECT body only — prepend a coords CTE (one of _COORDS_*)."""
     cases = []
     for name, dy, dx in (
         ("nw", -1, -1), ("no", -1, 0), ("ne", -1, 1),
@@ -70,13 +86,9 @@ def _pivot9(join: str, valcol: str = "val") -> str:
         ("sw", 1, -1), ("so", 1, 0), ("se", 1, 1),
     ):
         cases.append(
-            f"max(CASE WHEN o.dy={dy} AND o.dx={dx} THEN n.{valcol} END) AS {name}"
+            f"max(CASE WHEN c.dy={dy} AND c.dx={dx} THEN n.{valcol} END) AS {name}"
         )
-    return (
-        f"SELECT g.gy, g.gx, {', '.join(cases)} "
-        f"FROM grid g CROSS JOIN offs o CROSS JOIN dims d {join} "
-        "GROUP BY g.gy, g.gx"
-    )
+    return f"SELECT c.gy, c.gx, {', '.join(cases)} {join} GROUP BY c.gy, c.gx"
 
 
 _FACETS = (
@@ -328,6 +340,63 @@ def q_doc_quality(spark, sf_dir):
     )
 
 
+def q_quality_scores(spark, sf_dir):
+    from .textops import quality_scores
+
+    return quality_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    from .simsearch import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return cosine_topk(qs, emb, k=10).select("query_id", "vec_id", "rank")
+
+
+def q_cosine_topk_lsh(spark, sf_dir):
+    """The LSH-bucketed scale path, checked against the same exact oracle
+    (multi-probe budget generous enough for exactness on this data —
+    recall verified in tests; any miss shows up as a driver mismatch)."""
+    from .simsearch import hyperplane_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return hyperplane_topk(qs, emb, k=10, n_bits=8, probe_hamming=8).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
+def q_minhash_pairs(spark, sf_dir):
+    from .textops import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.2
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from .textops import simhash_df
+
+    return simhash_df(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_lang_id(spark, sf_dir):
+    from .textops import language_id
+
+    return language_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from .textops import fingerprint64
+
+    return fingerprint64(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL
 # ---------------------------------------------------------------------------
@@ -386,82 +455,78 @@ SELECT zone, sum(val) AS zsum, count(*) AS zcount, sum(val)/count(*) AS zmean,
 FROM grid GROUP BY zone
 """
 ORACLE["fsum_grid"] = f"""
-WITH {GRID_CTE}
-SELECT g.gy, g.gx, sum(n.val) AS fsum
-FROM grid g CROSS JOIN offs o {_FILL}
-GROUP BY g.gy, g.gx
+WITH {GRID_CTE}, {_COORDS_FILL}
+SELECT c.gy, c.gx, sum(n.val) AS fsum
+{_JOIN_LEFT}
+GROUP BY c.gy, c.gx
 """
 ORACLE["fmean_grid"] = f"""
-WITH {GRID_CTE}
-SELECT g.gy, g.gx, round(sum(COALESCE(n.val, 0))/9.0, 6) AS fmean
-FROM grid g CROSS JOIN offs o {_FILL}
-GROUP BY g.gy, g.gx
+WITH {GRID_CTE}, {_COORDS_FILL}
+SELECT c.gy, c.gx, round(sum(COALESCE(n.val, 0))/9.0, 6) AS fmean
+{_JOIN_LEFT}
+GROUP BY c.gy, c.gx
 """
 ORACLE["fmax_grid"] = f"""
-WITH {GRID_CTE}
-SELECT g.gy, g.gx, max(n.val) AS fmax
-FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_CLAMP}
-GROUP BY g.gy, g.gx
+WITH {GRID_CTE}, {_COORDS_CLAMP}
+SELECT c.gy, c.gx, max(n.val) AS fmax
+{_JOIN_INNER}
+GROUP BY c.gy, c.gx
 """
 ORACLE["fmin_grid"] = f"""
-WITH {GRID_CTE}
-SELECT g.gy, g.gx, min(n.val) AS fmin
-FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_CLAMP}
-GROUP BY g.gy, g.gx
+WITH {GRID_CTE}, {_COORDS_CLAMP}
+SELECT c.gy, c.gx, min(n.val) AS fmin
+{_JOIN_INNER}
+GROUP BY c.gy, c.gx
 """
 ORACLE["fvariety_grid"] = f"""
-WITH {GRID_CTE}
-SELECT g.gy, g.gx, CAST(count(DISTINCT n.ival) AS DOUBLE) AS fvariety
-FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_CLAMP}
-GROUP BY g.gy, g.gx
+WITH {GRID_CTE}, {_COORDS_CLAMP}
+SELECT c.gy, c.gx, CAST(count(DISTINCT n.ival) AS DOUBLE) AS fvariety
+{_JOIN_INNER}
+GROUP BY c.gy, c.gx
 """
 ORACLE["fmajority_grid"] = f"""
-WITH {GRID_CTE},
-nbr AS (
-  SELECT g.gy, g.gx, n.ival AS v
-  FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_MIRROR}
-),
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, n.ival AS v {_JOIN_INNER}),
 cnt AS (SELECT gy, gx, v, count(*) AS c FROM nbr GROUP BY gy, gx, v)
 SELECT gy, gx, CAST(v AS DOUBLE) AS fmaj
 FROM (SELECT gy, gx, v, row_number() OVER (PARTITION BY gy, gx ORDER BY c DESC, v ASC) AS rn FROM cnt)
 WHERE rn = 1
 """
 ORACLE["fminority_grid"] = f"""
-WITH {GRID_CTE},
-nbr AS (
-  SELECT g.gy, g.gx, n.ival AS v
-  FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_MIRROR}
-),
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, n.ival AS v {_JOIN_INNER}),
 cnt AS (SELECT gy, gx, v, count(*) AS c FROM nbr GROUP BY gy, gx, v)
 SELECT gy, gx, CAST(v AS DOUBLE) AS fmino
 FROM (SELECT gy, gx, v, row_number() OVER (PARTITION BY gy, gx ORDER BY c ASC, v ASC) AS rn FROM cnt)
 WHERE rn = 1
 """
 ORACLE["fpercentage_grid"] = f"""
-WITH {GRID_CTE}
-SELECT g.gy, g.gx,
-  sum(CASE WHEN NOT (o.dy = 0 AND o.dx = 0) AND n.ival = g.ival THEN 1 ELSE 0 END)/8.0 AS fpct
-FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_MIRROR}
-GROUP BY g.gy, g.gx
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, c.dy, c.dx, n.ival AS v {_JOIN_INNER})
+SELECT nbr.gy, nbr.gx,
+  sum(CASE WHEN NOT (nbr.dy = 0 AND nbr.dx = 0) AND nbr.v = g2.ival THEN 1 ELSE 0 END)/8.0 AS fpct
+FROM nbr JOIN grid g2 ON g2.gy = nbr.gy AND g2.gx = nbr.gx
+GROUP BY nbr.gy, nbr.gx
 """
 ORACLE["fpercentile_grid"] = f"""
-WITH {GRID_CTE}
-SELECT g.gy, g.gx,
-  sum(CASE WHEN NOT (o.dy = 0 AND o.dx = 0) AND n.val < g.val THEN 1 ELSE 0 END)/8.0 AS fple
-FROM grid g CROSS JOIN offs o CROSS JOIN dims d {_MIRROR}
-GROUP BY g.gy, g.gx
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, c.dy, c.dx, n.val AS v {_JOIN_INNER})
+SELECT nbr.gy, nbr.gx,
+  sum(CASE WHEN NOT (nbr.dy = 0 AND nbr.dx = 0) AND nbr.v < g2.val THEN 1 ELSE 0 END)/8.0 AS fple
+FROM nbr JOIN grid g2 ON g2.gy = nbr.gy AND g2.gx = nbr.gx
+GROUP BY nbr.gy, nbr.gx
 """
 ORACLE["fvolume_grid"] = f"""
-WITH {GRID_CTE},
-nb AS ({_pivot9(_CLAMP)}),
+WITH {GRID_CTE}, {_COORDS_CLAMP},
+nb AS ({_pivot9(_JOIN_INNER)}),
 fc AS (SELECT gy, gx, {_FACETS} FROM nb)
 SELECT gy, gx,
   round((8.0*ffo + 2.0*(fnw + fno + fne + fwe + fea + fsw + fso + fse))/24.0, 6) AS fvol
 FROM fc
 """
 ORACLE["fgradient_grid"] = f"""
-WITH {GRID_CTE},
-nb AS ({_pivot9(_CLAMP)}),
+WITH {GRID_CTE}, {_COORDS_CLAMP},
+nb AS ({_pivot9(_JOIN_INNER)}),
 fc AS (SELECT gy, gx, {_FACETS} FROM nb),
 ab AS (SELECT gy, gx, ((fsw + fso + fse) - (fnw + fno + fne))/3.0 AS a,
                       ((fne + fea + fse) - (fnw + fwe + fsw))/3.0 AS b FROM fc)
@@ -470,8 +535,8 @@ SELECT gy, gx,
 FROM ab
 """
 ORACLE["faspect_grid"] = f"""
-WITH {GRID_CTE},
-nb AS ({_pivot9(_CLAMP)}),
+WITH {GRID_CTE}, {_COORDS_CLAMP},
+nb AS ({_pivot9(_JOIN_INNER)}),
 fc AS (SELECT gy, gx, {_FACETS} FROM nb),
 ab AS (SELECT gy, gx, ((fsw + fso + fse) - (fnw + fno + fne))/3.0 AS a,
                       ((fne + fea + fse) - (fnw + fwe + fsw))/3.0 AS b FROM fc)
@@ -483,8 +548,8 @@ SELECT gy, gx,
 FROM ab
 """
 ORACLE["flinkage_grid"] = f"""
-WITH {GRID_CTE},
-nb AS ({_pivot9(_FILL, "ival")}),
+WITH {GRID_CTE}, {_COORDS_FILL},
+nb AS ({_pivot9(_JOIN_LEFT, "ival")}),
 eq AS (SELECT g2.gy, g2.gx,
   CASE WHEN COALESCE(nb.no, 0) = g2.ival THEN 1 ELSE 0 END AS bn,
   CASE WHEN COALESCE(nb.we, 0) = g2.ival THEN 1 ELSE 0 END AS bw,
@@ -507,8 +572,8 @@ FROM eq
 # flength: sum in the SAME association order as kernels._flength_lut
 # (axis bits 1,3,4,6 at 0.5 each, then diagonal bits 0,2,5,7 at 1/sqrt(2))
 ORACLE["flength_grid"] = f"""
-WITH {GRID_CTE},
-nb AS ({_pivot9(_FILL, "ival")}),
+WITH {GRID_CTE}, {_COORDS_FILL},
+nb AS ({_pivot9(_JOIN_LEFT, "ival")}),
 eq AS (SELECT g2.gy, g2.gx,
   CASE WHEN COALESCE(nb.no, 0) = g2.ival THEN 1 ELSE 0 END AS bn,
   CASE WHEN COALESCE(nb.we, 0) = g2.ival THEN 1 ELSE 0 END AS bw,
@@ -599,6 +664,38 @@ ORACLE["doc_quality"] = (
     " AS avg_tok_span, "
     "length(text) - length(replace(text, ' ', '')) AS n_spaces FROM documents"
 )
+ORACLE["quality_scores"] = """
+SELECT doc_id,
+  length(text) AS n_chars_calc,
+  len(string_split(text, ' ')) AS n_tokens,
+  round(length(text)/CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS avg_tok_span,
+  round(len(list_filter(string_split(text, ' '),
+        t -> t IN ('the', 'a', 'of', 'and', 'to')))
+        / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+  round((length(text) - length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')))
+        / CAST(length(text) AS DOUBLE), 6) AS nonalpha_ratio
+FROM documents
+"""
+_COSINE_TOPK_SQL = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+  FROM embeddings WHERE vec_id < 5
+),
+p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+scored AS (
+  SELECT q.query_id, p.vec_id,
+         list_dot_product(p.v, q.qvec)
+           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(q.qvec, q.qvec))) AS cos
+  FROM p CROSS JOIN q
+)
+SELECT query_id, vec_id, rank FROM (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+"""
+ORACLE["cosine_topk"] = _COSINE_TOPK_SQL
+ORACLE["cosine_topk_lsh"] = _COSINE_TOPK_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -638,4 +735,11 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "doc_quality": q_doc_quality,
+    "quality_scores": q_quality_scores,
+    "cosine_topk": q_cosine_topk,
+    "cosine_topk_lsh": q_cosine_topk_lsh,
+    "minhash_pairs": q_minhash_pairs,  # rows-only
+    "simhash": q_simhash,  # rows-only
+    "lang_id": q_lang_id,  # rows-only
+    "fingerprint": q_fingerprint,  # rows-only
 }

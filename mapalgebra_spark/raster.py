@@ -176,9 +176,13 @@ class TileRaster:
         suffix = raster_suffix
 
         def run(batches):
+            from .tiles import AUX_COLS, aux_blobs
+
+            computed = {"tile", "dtype", "planes", *AUX_COLS}
             for pdf in batches:
                 n = len(pdf)
                 out_tiles, out_dt, out_pl = [], [], []
+                out_aux = {c: [] for c in AUX_COLS}
                 for r in range(n):
                     row = pdf.iloc[r]
                     h, w = int(row["h"]), int(row["w"])
@@ -203,10 +207,14 @@ class TileRaster:
                     out_tiles.append(encode_block(res))
                     out_dt.append(str(res.dtype))
                     out_pl.append(res.shape[0] if res.ndim == 3 else 1)
-                out = pdf[[c for c in _TILE_COL_NAMES if c != "tile"]].copy()
+                    for k, v in aux_blobs(res).items():
+                        out_aux[k].append(v)
+                out = pdf[[c for c in _TILE_COL_NAMES if c not in computed]].copy()
                 out["tile"] = out_tiles
                 out["dtype"] = out_dt
                 out["planes"] = out_pl
+                for k in AUX_COLS:
+                    out[k] = out_aux[k]
                 if suffix:
                     out["raster_id"] = out["raster_id"].astype(str) + suffix
                 yield out[_TILE_COL_NAMES]

@@ -33,6 +33,13 @@ TILE_SIZE = 256
 
 KEY_COLS = ["raster_id", "band", "ty", "tx"]
 
+#: edge/corner companion blobs: each materialized tile carries its four
+#: 1-px edge strips and four corner pixels as small extra columns
+#: (~1.6% of the tile bytes).  The focal halo exchange then needs NO
+#: Python pass and NO rescan of the tile bytes — strip routing is a pure
+#: JVM projection over these columns (see operators/focal.py).
+AUX_COLS = ["en", "es", "ew", "ee", "cnw", "cne", "csw", "cse"]
+
 TILE_FIELDS = [
     T.StructField("raster_id", T.StringType()),
     T.StructField("band", T.IntegerType()),
@@ -48,8 +55,24 @@ TILE_FIELDS = [
     T.StructField("planes", T.IntegerType()),
     T.StructField("cell_id", T.LongType()),
     T.StructField("tile", T.BinaryType()),
-]
+] + [T.StructField(c, T.BinaryType()) for c in AUX_COLS]
 TILE_SCHEMA = T.StructType(TILE_FIELDS)
+
+
+def aux_blobs(arr: np.ndarray) -> dict[str, bytes]:
+    """Edge strips + corner pixels of a (h, w) or (planes, h, w) block,
+    C-order bytes. Shapes: en/es (planes,1,w), ew/ee (planes,h,1),
+    corners (planes,1,1)."""
+    return {
+        "en": encode_block(arr[..., :1, :]),
+        "es": encode_block(arr[..., -1:, :]),
+        "ew": encode_block(arr[..., :, :1]),
+        "ee": encode_block(arr[..., :, -1:]),
+        "cnw": encode_block(arr[..., :1, :1]),
+        "cne": encode_block(arr[..., :1, -1:]),
+        "csw": encode_block(arr[..., -1:, :1]),
+        "cse": encode_block(arr[..., -1:, -1:]),
+    }
 
 
 def encode_block(arr: np.ndarray) -> bytes:
@@ -105,6 +128,7 @@ def tile_rows_from_array(
                 planes=1,
                 cell_id=int(cell_id),
                 tile=encode_block(block),
+                **aux_blobs(block),
             )
         )
     return rows

@@ -1,0 +1,143 @@
+"""Training-data ops: dedup (minhash/simhash), similarity search,
+text analysis — verified against brute-force numpy oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapalgebra_spark import simsearch as SS
+from mapalgebra_spark import textops as TX
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    # add exact and near duplicates so dedup has real positives
+    dup = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.col("text"),
+        "lang", "source", "n_chars",
+    )
+    near = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra token tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    return base.unionByName(dup).unionByName(near).persist()
+
+
+def _jaccard(a: str, b: str, k=3):
+    sa = set(np.unique(TX._shingle_hashes(a, k)).tolist())
+    sb = set(np.unique(TX._shingle_hashes(b, k)).tolist())
+    return len(sa & sb) / max(len(sa | sb), 1)
+
+
+def test_minhash_lsh_finds_duplicates(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+             TX.minhash_lsh_pairs(docs, threshold=0.7).collect()}
+    # exact duplicates must be found with est_jaccard == 1
+    for i in range(5):
+        assert pairs.get((i, i + 100000)) == 1.0, (i, pairs)
+    # near-duplicates (tail appended) should collide too
+    found_near = sum(1 for i in range(5) if (i, i + 200000) in pairs)
+    assert found_near >= 4
+
+
+def test_minhash_estimates_track_true_jaccard(spark, docs):
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    pairs = TX.minhash_lsh_pairs(docs, threshold=0.3).collect()
+    assert pairs
+    for r in pairs[:20]:
+        true_j = _jaccard(pdf[r["doc_a"]], pdf[r["doc_b"]])
+        assert abs(r["est_jaccard"] - true_j) < 0.25, (r, true_j)
+
+
+def test_ngram_jaccard_pairs_exact(spark, docs):
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    out = TX.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    ids = {(r["doc_a"], r["doc_b"]) for r in out}
+    for i in range(5):
+        assert (i, i + 100000) in ids
+    for r in out:
+        # output is rounded to 6dp
+        assert r["jaccard"] == pytest.approx(_jaccard(pdf[r["doc_a"]], pdf[r["doc_b"]]), abs=1e-6)
+
+
+def test_simhash_near_pairs(spark, docs):
+    out = TX.simhash_near_pairs(docs, max_hamming=6).collect()
+    ids = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    for i in range(5):
+        assert ids.get((i, i + 100000)) == 0  # identical text → identical simhash
+    near = sum(1 for i in range(5) if (i, i + 200000) in ids)
+    assert near >= 3  # small tail edit → small hamming distance
+
+
+def test_simhash_matches_local(spark, docs):
+    rows = TX.simhash_df(docs).collect()
+    pdf = docs.toPandas().set_index("doc_id")["text"]
+    for r in rows[:10]:
+        assert r["simhash"] == TX.simhash64(pdf[r["doc_id"]])
+
+
+def test_language_id_and_quality(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [
+                "the quick brown fox jumps over the lazy dog and then it sleeps",
+                "der schnelle braune fuchs springt und dann schlaeft er ein wenig",
+            ],
+        }
+    )
+    d = spark.createDataFrame(pdf)
+    langs = {r["doc_id"]: r["lang_pred"] for r in TX.language_id(d).collect()}
+    assert langs[1] == "en"
+    q = {r["doc_id"]: r for r in TX.quality_scores(d).collect()}
+    assert q[1]["n_tokens"] == 13
+    assert q[1]["stopword_ratio"] == pytest.approx(round(3 / 13, 6))  # the, the, and
+    fp = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint64(d).collect()}
+    assert fp[1] != fp[2]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").persist()
+
+
+def test_cosine_topk_vs_numpy(spark, emb):
+    pdf = emb.toPandas()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    got = SS.cosine_topk(qs, emb, k=5).collect()
+    for qid in range(3):
+        qv = M[ids == qid][0]
+        cos = (M @ qv) / (np.linalg.norm(M, axis=1) * np.linalg.norm(qv))
+        order = np.lexsort((ids, -cos))[:5]
+        exp = ids[order].tolist()
+        g = [r["vec_id"] for r in sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )]
+        assert g == exp
+
+
+def test_hyperplane_topk_recall(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in SS.cosine_topk(qs, emb, k=10).collect()}
+    approx2 = {(r["query_id"], r["vec_id"]) for r in
+               SS.hyperplane_topk(qs, emb, k=10, n_bits=8, probe_hamming=4).collect()}
+    recall = len(exact & approx2) / len(exact)
+    assert recall >= 0.7, recall
+    # full probe budget degrades to exact
+    full = {(r["query_id"], r["vec_id"]) for r in
+            SS.hyperplane_topk(qs, emb, k=10, n_bits=8, probe_hamming=8).collect()}
+    assert full == exact
