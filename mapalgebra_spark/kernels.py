@@ -117,12 +117,29 @@ def plane_ab(fz):
     return a, b
 
 
+def plane_ab_raw(p: np.ndarray):
+    """(a, b) of the facet-grid plane fit, computed DIRECTLY from the raw
+    3x3 neighbourhood — the facet means expand algebraically:
+
+        a = ((sw + se - nw - ne) + 4*(so - no)) / 12
+        b = ((ne + se - nw - sw) + 4*(ea - we)) / 12
+
+    (substitute facetStencil MA:1081-1089 into plane_ab and collect
+    terms; avoids materializing 9 facet planes — ~3x faster).  The SQL
+    oracles use the same collected form so results stay bit-identical.
+    """
+    nw, no, ne, we, _, ea, sw, so, se = shifts(p.astype(np.float64))
+    a = ((sw + se - nw - ne) + 4.0 * (so - no)) / 12.0
+    b = ((ne + se - nw - sw) + 4.0 * (ea - we)) / 12.0
+    return a, b
+
+
 def k_gradient(p: np.ndarray) -> np.ndarray:
     """Focal Gradient in radians (MA:1111-1125): tau/2 - acos(n_z).
 
     n = normalize([a, b, -1]) so n_z = -1/sqrt(a^2+b^2+1).
     """
-    a, b = plane_ab(facets(p))
+    a, b = plane_ab_raw(p)
     nz = -1.0 / np.sqrt(a * a + b * b + 1.0)
     return (TAU / 2.0) - np.arccos(nz)
 
@@ -130,7 +147,7 @@ def k_gradient(p: np.ndarray) -> np.ndarray:
 def k_aspect(p: np.ndarray) -> np.ndarray:
     """Focal Aspect (MA:1145-1151). NaN where the plane is flat
     (|a| and |b| both within APPROX_TOL of 0)."""
-    a, b = plane_ab(facets(p))
+    a, b = plane_ab_raw(p)
     flat = (np.abs(a) < APPROX_TOL) & (np.abs(b) < APPROX_TOL)
     norm = np.sqrt(a * a + b * b)
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -140,7 +157,7 @@ def k_aspect(p: np.ndarray) -> np.ndarray:
 
 def k_aspect_unsafe(p: np.ndarray) -> np.ndarray:
     """``faspect'`` (MA:1155-1159): no flat check; nonsense where flat."""
-    a, b = plane_ab(facets(p))
+    a, b = plane_ab_raw(p)
     norm = np.sqrt(a * a + b * b)
     with np.errstate(invalid="ignore", divide="ignore"):
         return np.arccos(np.clip(a / norm, -1.0, 1.0))
@@ -399,12 +416,16 @@ def k_farea(corners: np.ndarray) -> np.ndarray:
 def k_fvolume(p: np.ndarray) -> np.ndarray:
     """Focal Volume, border Reflect (MA:1042-1065).
 
-    (8*fo + 2*sum(facets)) / 24 — each of the 8 ring facets appears in
-    exactly two adjacent-pair sums of the reference formula.
+    (8*fo + 2*sum(ring facets)) / 24 — each of the 8 ring facets appears
+    in exactly two adjacent-pair sums of the reference formula; the
+    facet means collapse to raw-neighbour terms:
+
+        sum(ring) = (nw+ne+sw+se + 4*(no+we+ea+so) + 12*fo) / 4
+
+    The SQL oracle uses the same collected form (bit-identical).
     """
-    fz = facets(p)
-    fo = fz[4]
-    ring = fz[0] + fz[1] + fz[2] + fz[3] + fz[5] + fz[6] + fz[7] + fz[8]
+    nw, no, ne, we, fo, ea, sw, so, se = shifts(p.astype(np.float64))
+    ring = ((nw + ne + sw + se) + 4.0 * (no + we + ea + so) + 12.0 * fo) / 4.0
     return (8.0 * fo + 2.0 * ring) / 24.0
 
 

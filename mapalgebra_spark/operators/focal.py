@@ -158,6 +158,7 @@ def focal_multi(
     ops: list[str | FocalSpec],
     num_partitions: int | None = None,
     repartition: bool = True,
+    persist_combined: bool = True,
 ) -> dict[str, TileRaster]:
     """Run several focal ops over ONE halo materialization.
 
@@ -189,21 +190,34 @@ def focal_multi(
         ] + [T.StructField(f"{c}_{s.name}", T.BinaryType()) for c in AUX_COLS]
     out_schema = T.StructType(out_fields)
 
+    import pyarrow as pa
+
+    def _binary_views(arr: "pa.Array"):
+        """Zero-copy per-row memoryviews of an Arrow binary array."""
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        if isinstance(arr, pa.LargeBinaryArray):
+            off = arr.buffers()[1]
+            offs = np.frombuffer(off, dtype=np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+        else:
+            off = arr.buffers()[1]
+            offs = np.frombuffer(off, dtype=np.int32, count=len(arr) + 1, offset=arr.offset * 4)
+        data = memoryview(arr.buffers()[2])
+        return [data[offs[i]: offs[i + 1]] for i in range(len(arr))]
+
     def run(batches):
-        for pdf in batches:
-            n = len(pdf)
-            out = {c: pdf[c] for c in plain_cols}
+        for batch in batches:
+            n = batch.num_rows
+            cols = {
+                c: batch.column(c).to_numpy(zero_copy_only=False)
+                for c in ("ty", "tx", "nty", "ntx", "h", "w", "planes")
+            }
+            tiles_col = _binary_views(batch.column("tile"))
+            dtype_col = batch.column("dtype").to_pylist()
+            halo_col = batch.column("halo").to_pylist()  # small structs
             res_cols = {f"tile_{s.name}": [None] * n for s in specs}
             res_dt = {s.name: [None] * n for s in specs}
             res_pl = {s.name: [1] * n for s in specs}
             res_aux = {(s.name, c): [None] * n for s in specs for c in AUX_COLS}
-            cols = {
-                c: pdf[c].to_numpy()
-                for c in ("ty", "tx", "nty", "ntx", "h", "w", "planes")
-            }
-            tiles_col = pdf["tile"].to_numpy()
-            dtype_col = pdf["dtype"].to_numpy()
-            halo_col = pdf["halo"].to_numpy()
             for r in range(n):
                 h, w, planes = int(cols["h"][r]), int(cols["w"][r]), int(cols["planes"][r])
                 core = decode_block(tiles_col[r], dtype_col[r], h, w, planes)
@@ -239,16 +253,33 @@ def focal_multi(
                     res_pl[s.name][r] = res.shape[0] if res.ndim == 3 else 1
                     for c, v in aux_blobs(res).items():
                         res_aux[(s.name, c)][r] = v
-            for s in specs:
-                out[f"tile_{s.name}"] = res_cols[f"tile_{s.name}"]
-                out[f"dtype_{s.name}"] = res_dt[s.name]
-                out[f"planes_{s.name}"] = res_pl[s.name]
-                for c in AUX_COLS:
-                    out[f"{c}_{s.name}"] = res_aux[(s.name, c)]
-            yield pd.DataFrame(out)
+            arrays, names = [], []
+            for f in out_fields:
+                nm = f.name
+                names.append(nm)
+                if nm in (c for c in batch.schema.names):
+                    arrays.append(batch.column(nm))
+                elif nm.startswith("tile_"):
+                    arrays.append(pa.array(res_cols[nm], type=pa.binary()))
+                elif nm.startswith("dtype_"):
+                    arrays.append(pa.array(res_dt[nm[len("dtype_"):]], type=pa.string()))
+                elif nm.startswith("planes_"):
+                    arrays.append(
+                        pa.array(res_pl[nm[len("planes_"):]], type=pa.int32())
+                    )
+                else:  # aux_{op}: "<aux>_<op>"
+                    aux_name, op_name = nm.split("_", 1)
+                    arrays.append(
+                        pa.array(res_aux[(op_name, aux_name)], type=pa.binary())
+                    )
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
-    combined = joined.mapInPandas(run, out_schema)
-    if len(specs) > 1:
+    combined = joined.mapInArrow(run, out_schema)
+    if len(specs) > 1 and persist_combined:
+        # share one halo+kernel pass across the per-op selections; for
+        # count-only or write-through consumers pass persist_combined=
+        # False and consume `_combined` directly (caching multi-GB tile
+        # outputs thrashes memory at scale)
         combined = combined.persist()
     result = {}
     for s in specs:

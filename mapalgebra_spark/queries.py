@@ -519,17 +519,21 @@ GROUP BY nbr.gy, nbr.gx
 ORACLE["fvolume_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_CLAMP},
 nb AS ({_pivot9(_JOIN_INNER)}),
-fc AS (SELECT gy, gx, {_FACETS} FROM nb)
-SELECT gy, gx,
-  round((8.0*ffo + 2.0*(fnw + fno + fne + fwe + fea + fsw + fso + fse))/24.0, 6) AS fvol
+fc AS (SELECT gy, gx, fo,
+       ((nw + ne + sw + se) + 4.0*(no + we + ea + so) + 12.0*fo)/4.0 AS ring FROM nb)
+SELECT gy, gx, round((8.0*fo + 2.0*ring)/24.0, 6) AS fvol
 FROM fc
 """
+# a/b use the collected raw-neighbour form (kernels.plane_ab_raw) so the
+# engine and the oracle compute bit-identical doubles
+_AB = (
+    "ab AS (SELECT gy, gx, ((sw + se - nw - ne) + 4.0*(so - no))/12.0 AS a, "
+    "((ne + se - nw - sw) + 4.0*(ea - we))/12.0 AS b FROM nb)"
+)
 ORACLE["fgradient_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_CLAMP},
 nb AS ({_pivot9(_JOIN_INNER)}),
-fc AS (SELECT gy, gx, {_FACETS} FROM nb),
-ab AS (SELECT gy, gx, ((fsw + fso + fse) - (fnw + fno + fne))/3.0 AS a,
-                      ((fne + fea + fse) - (fnw + fwe + fsw))/3.0 AS b FROM fc)
+{_AB}
 SELECT gy, gx,
   round(6.283185307179586/2.0 - acos(-1.0/sqrt(a*a + b*b + 1.0)), 6) AS fgrad
 FROM ab
@@ -537,9 +541,7 @@ FROM ab
 ORACLE["faspect_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_CLAMP},
 nb AS ({_pivot9(_JOIN_INNER)}),
-fc AS (SELECT gy, gx, {_FACETS} FROM nb),
-ab AS (SELECT gy, gx, ((fsw + fso + fse) - (fnw + fno + fne))/3.0 AS a,
-                      ((fne + fea + fse) - (fnw + fwe + fsw))/3.0 AS b FROM fc)
+{_AB}
 SELECT gy, gx,
   CASE WHEN abs(a) < 0.0061359 AND abs(b) < 0.0061359 THEN NULL
        ELSE round(acos(CASE WHEN a/sqrt(a*a + b*b) > 1.0 THEN 1.0
