@@ -68,6 +68,66 @@ class TileRaster:
             rows.extend(tile_rows_from_array(rid, arr, tile_size=tile_size))
         return TileRaster(spark.createDataFrame(rows, TILE_SCHEMA))
 
+    @staticmethod
+    def from_function(
+        spark,
+        raster_id: str,
+        height: int,
+        width: int,
+        fn: Callable,
+        dtype: str = "float64",
+        tile_size: int = 256,
+    ) -> "TileRaster":
+        """Distributed ``fromFunction`` (MapAlgebra.hs:514-518): build a
+        raster from f(row_idx_plane, col_idx_plane) → plane, evaluated
+        per tile over ``spark.range`` of tile keys — no driver-side
+        pixel materialization, so 10^6 x 10^6 rasters plan fine."""
+        import pandas as pd
+
+        from .tiles import aux_blobs, encode_block
+
+        nty = (height + tile_size - 1) // tile_size
+        ntx = (width + tile_size - 1) // tile_size
+
+        def gen(batches):
+            for pdf in batches:
+                rows = []
+                for k in pdf["id"]:
+                    ty, tx = int(k) // ntx, int(k) % ntx
+                    h = min(tile_size, height - ty * tile_size)
+                    w = min(tile_size, width - tx * tile_size)
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    block = np.asarray(
+                        fn(yy + ty * tile_size, xx + tx * tile_size)
+                    ).astype(np.dtype(dtype))
+                    rows.append(
+                        dict(
+                            raster_id=raster_id, band=0, ty=ty, tx=tx, h=h, w=w,
+                            nty=nty, ntx=ntx, rh=height, rw=width, dtype=dtype,
+                            planes=1, cell_id=0, tile=encode_block(block),
+                            **aux_blobs(block),
+                        )
+                    )
+                yield pd.DataFrame(rows)
+
+        n = nty * ntx
+        return TileRaster(
+            spark.range(0, n, numPartitions=max(1, min(n, 256))).mapInPandas(
+                gen, TILE_SCHEMA
+            )
+        )
+
+    @staticmethod
+    def constant(
+        spark, raster_id: str, height: int, width: int, value, dtype: str = "float64",
+        tile_size: int = 256,
+    ) -> "TileRaster":
+        """Distributed ``constant`` (MapAlgebra.hs:508-510)."""
+        return TileRaster.from_function(
+            spark, raster_id, height, width,
+            lambda yy, xx: np.full(yy.shape, value), dtype, tile_size,
+        )
+
     # -- local (element-wise) algebra ---------------------------------------
 
     def map(self, g: Callable) -> "TileRaster":
