@@ -1,0 +1,158 @@
+"""Multimodal column operators: image / audio / video as opaque binary
+columns with typed metadata.
+
+The Spark-side plumbing (schemas, Arrow batch shape, partitioning) is
+real and tested; payload transforms fall into two classes:
+
+- **real**: PNG/raw/npy decode (stdlib codec), block-mean resize,
+  grayscale collapse, perceptual hash — pure numpy.
+- **stubbed**: JPEG decode, audio decode, video frame extraction — the
+  sandbox has no Pillow/ffmpeg/torchcodec, so these raise
+  ``NotImplementedError`` behind an import-try (``_HAS_*`` flags), or
+  produce a clearly-marked deterministic fake when ``allow_fake=True``
+  so pipelines exercising the plumbing stay runnable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import codecs
+
+try:  # pragma: no cover - not present in this sandbox
+    import PIL.Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+
+def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic block-mean downsample (area interpolation) of a
+    (h, w) or (h, w, c) uint8 image — pure numpy, no image libs."""
+    a = np.asarray(arr, dtype=np.float64)
+    h, w = a.shape[:2]
+    ys = (np.arange(out_h + 1) * h) // out_h
+    xs = (np.arange(out_w + 1) * w) // out_w
+    out_shape = (out_h, out_w) + a.shape[2:]
+    out = np.empty(out_shape)
+    for i in range(out_h):
+        for j in range(out_w):
+            blk = a[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
+            out[i, j] = blk.mean(axis=(0, 1))
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+THUMB_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("th", T.IntegerType()),
+        T.StructField("tw", T.IntegerType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def thumbnails(images: DataFrame, size: int = 32) -> DataFrame:
+    """Decode → block-mean resize → raw thumbnail + phash, one Arrow
+    batch stage over the image table (real, lossless codecs only)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, blobs, phs = [], [], []
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                pix = codecs.decode_image(row["bytes"], row["fmt"], int(row["w"]), int(row["h"]))
+                tn = block_mean_resize(pix, size, size)
+                ids.append(row["image_id"])
+                blobs.append(tn.tobytes())
+                phs.append(codecs.phash64(tn))
+            yield pd.DataFrame(
+                {"image_id": ids, "thumb": blobs, "th": size, "tw": size, "phash": phs}
+            )
+
+    return images.mapInPandas(run, THUMB_SCHEMA)
+
+
+EMBED_DIM = 64
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("model", T.StringType()),
+    ]
+)
+
+
+def image_features(images: DataFrame, allow_fake: bool = False) -> DataFrame:
+    """Feature-extraction stage.  No vision model ships in this sandbox:
+    raises NotImplementedError unless ``allow_fake`` — then emits a
+    deterministic 'fake-dct8x8' embedding (flattened 8x8 block-mean,
+    zero-centered, L2-normalized) that keeps the downstream ANN
+    plumbing (simsearch.py) real and testable."""
+    if not allow_fake and not _HAS_PIL:
+        raise NotImplementedError(
+            "image_features: no vision backend in this environment; "
+            "pass allow_fake=True for the deterministic fake embedding"
+        )
+
+    def run(batches):
+        for pdf in batches:
+            ids, embs = [], []
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                pix = codecs.decode_image(row["bytes"], row["fmt"], int(row["w"]), int(row["h"]))
+                small = block_mean_resize(pix, 8, 8).astype(np.float64)
+                if small.ndim == 3:
+                    small = small.mean(axis=2)
+                v = small.ravel() - small.mean()
+                n = np.linalg.norm(v)
+                v = v / n if n > 0 else v
+                ids.append(row["image_id"])
+                embs.append([float(x) for x in v])
+            yield pd.DataFrame(
+                {"image_id": ids, "embedding": embs, "model": "fake-dct8x8"}
+            )
+
+    return images.mapInPandas(run, FEATURE_SCHEMA)
+
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def video_frame_sample(media: DataFrame, every_n: int = 30, allow_fake: bool = False) -> DataFrame:
+    """Frame-sampling stage for video binary columns.  STUB: no ffmpeg
+    in the sandbox.  With allow_fake=True, emits deterministic
+    pseudo-frames (seeded from the media id) so schema/partitioning/
+    batch-shape are exercised; otherwise NotImplementedError."""
+    if not allow_fake:
+        raise NotImplementedError("video_frame_sample: no ffmpeg/av backend available")
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for r in range(len(pdf)):
+                mid = pdf.iloc[r]["media_id"]
+                seed = int.from_bytes(hashlib.md5(mid.encode()).digest()[:4], "big")
+                rng = np.random.default_rng(seed)
+                for k in range(3):  # fake: 3 sampled frames
+                    ids.append(mid)
+                    idxs.append(k * every_n)
+                    frames.append(rng.integers(0, 256, (16, 16), dtype=np.uint8).tobytes())
+            yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(run, AUDIO_SCHEMA)

@@ -1,0 +1,102 @@
+"""Multimodal column ops + skew handling."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from mapalgebra_spark import codecs, datagen, imageops, skew
+from mapalgebra_spark.operators import focal as FO
+
+pytestmark = pytest.mark.spark
+
+
+def test_thumbnails_and_phash(spark):
+    images = datagen.generate_images_df(spark, 6)
+    out = {r["image_id"]: r for r in imageops.thumbnails(images, size=16).collect()}
+    assert len(out) == 6
+    for iid, r in out.items():
+        i = int(iid[3:])
+        rgba = i % 7 == 3
+        w, h = datagen.SIZES[i % len(datagen.SIZES)]
+        pix = datagen.render_pixels(i, w, h, rgba)
+        ref = imageops.block_mean_resize(pix, 16, 16)
+        got = np.frombuffer(r["thumb"], np.uint8).reshape(ref.shape)
+        assert np.array_equal(got, ref)
+        assert r["phash"] == codecs.phash64(ref)
+
+
+def test_image_features_stub_and_fake(spark):
+    images = datagen.generate_images_df(spark, 3)
+    with pytest.raises(NotImplementedError):
+        imageops.image_features(images)  # no vision backend in sandbox
+    rows = imageops.image_features(images, allow_fake=True).collect()
+    assert len(rows) == 3
+    for r in rows:
+        v = np.array(r["embedding"])
+        assert v.shape == (64,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+        assert r["model"] == "fake-dct8x8"
+
+
+def test_video_frame_sample_stub(spark):
+    media = spark.createDataFrame(pd.DataFrame({"media_id": ["m0", "m1"], "blob": [b"x", b"y"]}))
+    with pytest.raises(NotImplementedError):
+        imageops.video_frame_sample(media)
+    out = imageops.video_frame_sample(media, allow_fake=True).collect()
+    assert len(out) == 6  # 3 fake frames per media
+    assert {r["frame_idx"] for r in out} == {0, 30, 60}
+    # deterministic
+    again = imageops.video_frame_sample(media, allow_fake=True).collect()
+    assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in out) == sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame"])) for r in again
+    )
+
+
+def test_salted_join_correctness_under_skew(spark):
+    rng = np.random.default_rng(0)
+    # 10k rows, 70% piled on one hot cell
+    cells = np.where(rng.uniform(size=10000) < 0.7, 42, rng.integers(0, 100, 10000))
+    big = spark.createDataFrame(
+        pd.DataFrame({"cell_id": cells.astype(np.int64), "v": np.arange(10000)})
+    )
+    small = spark.createDataFrame(
+        pd.DataFrame({"cell_id": np.arange(100, dtype=np.int64), "zone": np.arange(100) % 7})
+    )
+    plain = big.join(small, on="cell_id").groupBy("zone").agg(F.sum("v").alias("s"))
+    salted = skew.salted_join(big, small, ["cell_id"], n_salt=8).groupBy("zone").agg(
+        F.sum("v").alias("s")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    hot = skew.key_histogram(big, ["cell_id"], top=1).collect()[0]
+    assert hot["cell_id"] == 42 and hot["count"] > 6000
+
+
+def test_fmonoid_user_kernel(spark):
+    """The focal extension point: user-pluggable 3x3 monoid fold
+    (MapAlgebra.hs:789-791) — here bitwise-or over a mask raster."""
+    from mapalgebra_spark.raster import TileRaster
+    from mapalgebra_spark import kernels as K
+
+    arr = (np.arange(81).reshape(9, 9) % 5 == 0).astype(np.int64)
+    tr = TileRaster.from_arrays(spark, {"m": arr}, tile_size=4)
+    out = FO.fmonoid(tr, np.bitwise_or, 0).collect_array("m")
+    padded = K.pad_block(arr, "constant", 0)
+    ref = np.zeros_like(arr)
+    for s in K.shifts(padded):
+        ref |= s
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_constant_and_from_function(spark):
+    from mapalgebra_spark.raster import TileRaster
+
+    c = TileRaster.constant(spark, "c", 100, 130, 7.0, tile_size=64)
+    arr = c.collect_array("c")
+    assert arr.shape == (100, 130) and (arr == 7.0).all()
+    f = TileRaster.from_function(
+        spark, "f", 50, 60, lambda yy, xx: yy * 100 + xx, dtype="int64", tile_size=16
+    )
+    got = f.collect_array("f")
+    yy, xx = np.mgrid[0:50, 0:60]
+    np.testing.assert_array_equal(got, yy * 100 + xx)
