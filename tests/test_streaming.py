@@ -1,0 +1,74 @@
+"""Structured Streaming: incremental tile pipeline + windowed events."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mapalgebra_spark import datagen, streaming
+from mapalgebra_spark.ingest import tiles_from_images
+
+pytestmark = pytest.mark.spark
+
+
+def test_stream_tile_pipeline_matches_batch(spark, tmp_path):
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    imgs = datagen.generate_images_df(spark, 6)
+    imgs.write.parquet(in_dir)
+
+    q = streaming.stream_tile_pipeline(
+        spark, in_dir, out_dir, ck, focal_ops=["fmean"], tile_size=256
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(os.path.join(out_dir, "batch=*"))
+    batch_tiles = tiles_from_images(spark.read.parquet(in_dir), tile_size=256).df
+    assert got.count() == batch_tiles.count()
+    # fmean output column exists and one tile matches the batch engine
+    row = got.filter(
+        (F.col("raster_id") == "img00000000") & (F.col("ty") == 0) & (F.col("tx") == 0)
+    ).collect()[0]
+    from mapalgebra_spark import kernels as K
+    from mapalgebra_spark.tiles import decode_block
+
+    ref_pix = datagen.render_pixels(0, 256, 256, False)
+    ref = K.k_fmean(K.pad_block(ref_pix, K.BORDER_FILL, 0))
+    out_blk = decode_block(row["tile_fmean"], row["dtype_fmean"], 256, 256)
+    np.testing.assert_allclose(out_blk, ref)
+
+    # restart with same checkpoint: no duplicate processing
+    q2 = streaming.stream_tile_pipeline(
+        spark, in_dir, out_dir, ck, focal_ops=["fmean"], tile_size=256
+    )
+    q2.awaitTermination(60)
+    assert spark.read.parquet(os.path.join(out_dir, "batch=*")).count() == batch_tiles.count()
+
+
+def test_stream_event_stats_matches_batch(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exp = {
+        (r["win_start"], r["event_type"]): (r["n"], r["total"])
+        for r in streaming.stream_event_stats(events, window="5 minutes").collect()
+    }
+    in_dir = str(tmp_path / "ev")
+    events.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    out_rows = []
+
+    q = (
+        streaming.stream_event_stats(stream, window="5 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: out_rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["win_start"], r["event_type"]): (r["n"], r["total"]) for r in out_rows}
+    # append mode only emits windows the watermark has closed; all
+    # emitted windows must match the batch result exactly
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v, k
