@@ -44,7 +44,23 @@ GRID_TILE = 64
 # --- shared grid construction ------------------------------------------------
 
 
+_GRID_CACHE: dict = {}
+
+
 def grid_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """The lineitem grid, persisted per (session, sf_dir): the global
+    row_number sort is a single-task O(n log n) every grid query would
+    otherwise repeat."""
+    key = (id(spark), sf_dir)
+    if key in _GRID_CACHE:
+        return _GRID_CACHE[key]
+    g, G = _build_grid_df(spark, sf_dir)
+    g = g.persist()
+    _GRID_CACHE[key] = (g, G)
+    return g, G
+
+
+def _build_grid_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     n = li.count()
     G = int(math.floor(math.sqrt(n)))
