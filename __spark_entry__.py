@@ -19,7 +19,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from pyspark.sql import functions as F
 
-    from mapalgebra_spark.gridq import grid_df, grid_to_tiles, tiles_to_rows
+    from mapalgebra_spark.gridq import grid_df, grid_to_tiles
     from mapalgebra_spark.operators import focal as FO
     from mapalgebra_spark.operators import zonal as Z
     from mapalgebra_spark import raster as R

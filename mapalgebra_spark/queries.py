@@ -14,8 +14,7 @@ the numpy kernels where association matters (see flength).
 
 from __future__ import annotations
 
-import numpy as np
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import gridq

@@ -39,7 +39,6 @@ def stream_tile_pipeline(
     overwrite-by-batch-id makes replays after a crash idempotent."""
     from .ingest import tiles_from_images
     from .operators.focal import focal_multi
-    from .raster import TileRaster
 
     stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(input_dir)
 
