@@ -30,7 +30,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", min(32, os.cpu_count() or 8)))
-N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "2560"))
+N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "5120"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
 # Scaling pair: this host reports 32 vCPUs but delivers only ~2.8x from
 # 8->32 processes even for pure single-threaded numpy (SMT: 16 physical
@@ -161,7 +161,7 @@ def main():
         scaling = None
     else:
         legs = []
-        for _ in range(3):
+        for _ in range(2):
             legs.append(("low", run_flagship_subprocess(SCALE_LOW, img_path)))
             legs.append(("high", run_flagship_subprocess(SCALE_HIGH, img_path)))
         lo = max((r for t, r in legs if t == "low"), key=lambda r: r["tps"])

@@ -52,7 +52,7 @@ def png_encode(arr: np.ndarray) -> bytes:
     scan = np.empty((h, 1 + w * nchan), dtype=np.uint8)
     scan[:, 0] = 0
     scan[:, 1:] = raw.reshape(h, w * nchan)
-    idat = zlib.compress(scan.tobytes(), 6)
+    idat = zlib.compress(scan.tobytes(), 3)
     return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
 
