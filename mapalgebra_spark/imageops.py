@@ -125,6 +125,54 @@ def image_features(images: DataFrame, allow_fake: bool = False) -> DataFrame:
     return images.mapInPandas(run, FEATURE_SCHEMA)
 
 
+def phash_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Image near-duplicate pairs by perceptual-hash hamming distance,
+    bucketed on 16-bit phash chunks (same banding as textops.simhash:
+    a pair within hamming<=3 shares at least one exact chunk of 4;
+    larger budgets are recall-oriented).  Join is chunk-bucketed —
+    never a full cross join."""
+    chunks = images.select(
+        F.col("image_id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("phash"), c * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("key"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select(
+        "image_id", "phash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    )
+    l, r = chunks.alias("l"), chunks.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.key") == F.col("r.key"),
+                F.col("l.image_id") < F.col("r.image_id"),
+            ],
+        )
+        .select(
+            F.col("l.image_id").alias("img_a"),
+            F.col("r.image_id").alias("img_b"),
+            F.col("l.phash").alias("ha"),
+            F.col("r.phash").alias("hb"),
+        )
+        .dropDuplicates(["img_a", "img_b"])
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("img_a", "img_b", "hamming")
+    )
+
+
 AUDIO_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),

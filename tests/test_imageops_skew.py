@@ -53,6 +53,24 @@ def test_video_frame_sample_stub(spark):
     )
 
 
+def test_phash_near_pairs(spark):
+    base = datagen.generate_images_df(spark, 5)
+    # duplicates: same pixels re-encoded (identical phash, distinct ids)
+    dup = base.select(
+        F.concat(F.lit("dup_"), F.col("image_id")).alias("image_id"),
+        "bytes", "w", "h", "fmt", "caption", "phash",
+    )
+    both = base.unionByName(dup)
+    pairs = {(r["img_a"], r["img_b"]): r["hamming"] for r in
+             imageops.phash_near_pairs(both, max_hamming=0).collect()}
+    for i in range(5):
+        iid = f"img{i:08d}"
+        # "dup_..." sorts before "img..."
+        assert pairs.get((f"dup_{iid}", iid)) == 0, pairs
+    # distinct random terrains should not all collide at hamming 0
+    assert len(pairs) < 25
+
+
 def test_salted_join_correctness_under_skew(spark):
     rng = np.random.default_rng(0)
     # 10k rows, 70% piled on one hot cell
