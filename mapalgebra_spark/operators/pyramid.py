@@ -1,0 +1,129 @@
+"""Raster pyramids (overviews): downsample a tile table by 2x per level.
+
+Not in the reference (single-resolution arrays), but essential engine
+surface for tiled rasters at scale: overview levels make zoomed-out
+reads touch 4^-L of the data.  Distributed shape:
+
+1. each tile shrinks 2x locally (2x2 block mean — one narrow
+   mapInPandas, no shuffle),
+2. the four shrunken children of a parent tile merge via
+   ``groupBy(parent key).applyInPandas`` — the ONLY shuffle, carrying
+   already-shrunken (quarter-size) tiles,
+
+so a full pyramid costs ~1/3 extra storage and each level's shuffle is
+4x smaller than the last.  Odd-sized rasters follow the usual overview
+convention: ceil-div dimensions, edge cells average the available 1-2
+source cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..raster import TileRaster
+from ..tiles import TILE_SCHEMA, aux_blobs, decode_block, encode_block
+
+
+def _shrink2(a: np.ndarray) -> np.ndarray:
+    """2x2 block mean with ceil-div edges, dtype preserved (floor for
+    integer dtypes, like GDAL's 'average' resampling on ints)."""
+    h, w = a.shape[-2:]
+    H, W = (h + 1) // 2, (w + 1) // 2
+    out = np.zeros(a.shape[:-2] + (H, W), dtype=np.float64)
+    cnt = np.zeros((H, W), dtype=np.float64)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            sub = a[..., dy::2, dx::2].astype(np.float64)
+            out[..., : sub.shape[-2], : sub.shape[-1]] += sub
+            cnt[: sub.shape[-2], : sub.shape[-1]] += 1
+    out = out / cnt
+    return out.astype(a.dtype) if np.issubdtype(np.asarray(a).dtype, np.integer) else out
+
+
+def downsample2(tr: TileRaster, tile_size: int = 256) -> TileRaster:
+    """One pyramid level: raster dims halve (ceil), tile grid re-keyed.
+
+    A child tile (ty, tx) shrinks to (h/2, w/2) and lands in parent
+    tile (ty//2, tx//2) at quadrant (ty%2, tx%2); the merge group has
+    <= 4 members.
+    """
+    src = tr.strict().df
+
+    def shrink_and_rekey(batches):
+        for pdf in batches:
+            rows = []
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                block = decode_block(
+                    row["tile"], row["dtype"], int(row["h"]), int(row["w"]), int(row["planes"])
+                )
+                small = _shrink2(block)
+                rows.append(
+                    dict(
+                        raster_id=row["raster_id"],
+                        band=int(row["band"]),
+                        ty=int(row["ty"]) // 2,
+                        tx=int(row["tx"]) // 2,
+                        qy=int(row["ty"]) % 2,
+                        qx=int(row["tx"]) % 2,
+                        h=small.shape[-2],
+                        w=small.shape[-1],
+                        nty=(int(row["nty"]) + 1) // 2,
+                        ntx=(int(row["ntx"]) + 1) // 2,
+                        rh=(int(row["rh"]) + 1) // 2,
+                        rw=(int(row["rw"]) + 1) // 2,
+                        dtype=str(small.dtype),
+                        planes=int(row["planes"]),
+                        cell_id=int(row["cell_id"]),
+                        tile=encode_block(small),
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    inter_schema = (
+        "raster_id string, band int, ty int, tx int, qy int, qx int, h int, w int,"
+        " nty int, ntx int, rh int, rw int, dtype string, planes int,"
+        " cell_id long, tile binary"
+    )
+    shrunk = src.mapInPandas(shrink_and_rekey, inter_schema)
+
+    def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        row0 = pdf.iloc[0]
+        planes = int(row0["planes"])
+        dt = row0["dtype"]
+        # quadrant layout: heights/widths from present quadrants
+        hs = {int(r["qy"]): int(r["h"]) for _, r in pdf.iterrows()}
+        ws = {int(r["qx"]): int(r["w"]) for _, r in pdf.iterrows()}
+        H = sum(hs[q] for q in sorted(hs))
+        W = sum(ws[q] for q in sorted(ws))
+        shape = (planes, H, W) if planes > 1 else (H, W)
+        out = np.zeros(shape, dtype=np.dtype(dt))
+        for _, r in pdf.iterrows():
+            blk = decode_block(r["tile"], dt, int(r["h"]), int(r["w"]), planes)
+            y0 = hs[0] if int(r["qy"]) == 1 else 0
+            x0 = ws[0] if int(r["qx"]) == 1 else 0
+            out[..., y0 : y0 + int(r["h"]), x0 : x0 + int(r["w"])] = blk
+        d = dict(
+            raster_id=row0["raster_id"], band=int(row0["band"]),
+            ty=int(key[2]), tx=int(key[3]),
+            h=H, w=W, nty=int(row0["nty"]), ntx=int(row0["ntx"]),
+            rh=int(row0["rh"]), rw=int(row0["rw"]), dtype=dt,
+            planes=planes, cell_id=int(row0["cell_id"]),
+            tile=encode_block(out), **aux_blobs(out),
+        )
+        return pd.DataFrame([d])
+
+    merged = shrunk.groupby("raster_id", "band", "ty", "tx").applyInPandas(
+        merge, TILE_SCHEMA
+    )
+    return TileRaster(merged)
+
+
+def build_pyramid(tr: TileRaster, levels: int, tile_size: int = 256) -> list[TileRaster]:
+    """Level 0 (input) .. level N overviews; each persisted so the next
+    level reads the previous one once."""
+    out = [tr.strict(persist=True)]
+    for _ in range(levels):
+        out.append(downsample2(out[-1], tile_size).strict(persist=True))
+    return out

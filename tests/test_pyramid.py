@@ -1,0 +1,50 @@
+"""Pyramid/overview levels vs a direct numpy oracle."""
+
+import numpy as np
+import pytest
+
+from mapalgebra_spark.operators import pyramid as P
+from mapalgebra_spark.raster import TileRaster
+
+pytestmark = pytest.mark.spark
+
+
+def np_shrink2(a):
+    return P._shrink2(a)
+
+
+@pytest.mark.parametrize("shape,tile", [((64, 64), 16), ((50, 37), 16), ((13, 9), 4)])
+def test_downsample2_matches_oracle(spark, shape, tile):
+    rng = np.random.default_rng(1)
+    arr = rng.uniform(0, 100, shape)
+    tr = TileRaster.from_arrays(spark, {"r": arr}, tile_size=tile)
+    out = P.downsample2(tr, tile).collect_array("r")
+    np.testing.assert_allclose(out, np_shrink2(arr))
+
+
+def test_pyramid_levels(spark):
+    rng = np.random.default_rng(2)
+    arr = rng.uniform(0, 255, (80, 96))
+    tr = TileRaster.from_arrays(spark, {"r": arr}, tile_size=16)
+    levels = P.build_pyramid(tr, 3, tile_size=16)
+    ref = arr
+    for lv in range(1, 4):
+        ref = np_shrink2(ref)
+        got = levels[lv].collect_array("r")
+        np.testing.assert_allclose(got, ref, err_msg=f"level {lv}")
+    assert levels[3].collect_array("r").shape == (10, 12)
+
+
+def test_pyramid_feeds_focal(spark):
+    """Overview tiles remain first-class: focal ops run on any level
+    (aux/edge columns regenerated at merge)."""
+    from mapalgebra_spark import kernels as K
+    from mapalgebra_spark.operators import focal as FO
+
+    rng = np.random.default_rng(3)
+    arr = rng.uniform(0, 50, (40, 40))
+    tr = TileRaster.from_arrays(spark, {"r": arr}, tile_size=8)
+    lvl1 = P.downsample2(tr, 8)
+    got = FO.fmean(lvl1).collect_array("r")
+    ref = K.k_fmean(K.pad_block(np_shrink2(arr), K.BORDER_FILL, 0))
+    np.testing.assert_allclose(got, ref)
