@@ -226,6 +226,76 @@ def knn_cells(
 
 
 # ---------------------------------------------------------------------------
+# vector → raster: rasterize polygons onto a geo-referenced tile grid
+# ---------------------------------------------------------------------------
+
+
+def rasterize_polygons(
+    spark: SparkSession,
+    polygons,
+    raster_id: str,
+    height: int,
+    width: int,
+    bounds: tuple[float, float, float, float],
+    nodata: int = -1,
+    tile_size: int = 256,
+) -> "TileRaster":
+    """Burn polygons into an int64 zone raster covering ``bounds`` =
+    (lat_min, lat_max, lng_min, lng_max) at height x width pixels
+    (row 0 = lat_max, row-major north→south like image rasters).
+
+    Each tile evaluates its own pixel centers against the broadcast
+    polygon list with the vectorized ray-cast — later polygons win
+    overlaps (painter's order by poly index).  Combined with
+    ``operators.zonal.zonal_stats`` this is GaCM zonal aggregation by
+    true vector zones at pixel resolution.
+    """
+    import pandas as pd
+
+    from .raster import TileRaster
+    from .tiles import TILE_SCHEMA, aux_blobs, encode_block
+
+    polys = [
+        (i, np.asarray(row["ring_lat"], np.float64), np.asarray(row["ring_lng"], np.float64))
+        for i, row in enumerate(polygons.select("ring_lat", "ring_lng").collect())
+    ]
+    lat0, lat1, lng0, lng1 = bounds
+    nty = (height + tile_size - 1) // tile_size
+    ntx = (width + tile_size - 1) // tile_size
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for k in pdf["id"]:
+                ty, tx = int(k) // ntx, int(k) % ntx
+                h = min(tile_size, height - ty * tile_size)
+                w = min(tile_size, width - tx * tile_size)
+                yy, xx = np.mgrid[0:h, 0:w]
+                gr = yy + ty * tile_size
+                gc = xx + tx * tile_size
+                plat = lat1 - (gr + 0.5) / height * (lat1 - lat0)
+                plng = lng0 + (gc + 0.5) / width * (lng1 - lng0)
+                zone = np.full((h, w), nodata, dtype=np.int64)
+                for zid, rlat, rlng in polys:
+                    inside = CI.point_in_polygon(plat.ravel(), plng.ravel(), rlat, rlng)
+                    zone.ravel()[inside] = zid
+                rows.append(
+                    dict(
+                        raster_id=raster_id, band=0, ty=ty, tx=tx, h=h, w=w,
+                        nty=nty, ntx=ntx, rh=height, rw=width, dtype="int64",
+                        planes=1, cell_id=0, tile=encode_block(zone),
+                        **aux_blobs(zone),
+                    )
+                )
+            yield pd.DataFrame(rows)
+
+    n = nty * ntx
+    return TileRaster(
+        spark.range(0, n, numPartitions=max(1, min(n, 256))).mapInPandas(gen, TILE_SCHEMA)
+    )
+
+
+# ---------------------------------------------------------------------------
 # raster ↔ vector zonal aggregation
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,60 @@
+"""Vector→raster rasterization + pixel-resolution zonal by polygons,
+checked against direct numpy masking (FIXTURES.md §4)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from mapalgebra_spark import cellindex as CI
+from mapalgebra_spark import spatial as SP
+from mapalgebra_spark.operators import zonal as Z
+from mapalgebra_spark.raster import TileRaster
+
+pytestmark = pytest.mark.spark
+
+BOUNDS = (0.0, 10.0, 0.0, 10.0)  # lat_min, lat_max, lng_min, lng_max
+H, W = 50, 60
+
+
+def _polys(spark):
+    rows = [
+        {"poly_id": "tri", "ring_lat": [1.0, 1.0, 8.0], "ring_lng": [1.0, 8.0, 1.0]},
+        {"poly_id": "box", "ring_lat": [5.5, 5.5, 9.5, 9.5], "ring_lng": [5.5, 9.5, 9.5, 5.5]},
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows)), rows
+
+
+def _expected_zone(rows):
+    yy, xx = np.mgrid[0:H, 0:W]
+    plat = BOUNDS[1] - (yy + 0.5) / H * (BOUNDS[1] - BOUNDS[0])
+    plng = BOUNDS[2] + (xx + 0.5) / W * (BOUNDS[3] - BOUNDS[2])
+    zone = np.full((H, W), -1, dtype=np.int64)
+    for zid, row in enumerate(rows):
+        inside = CI.point_in_polygon(
+            plat.ravel(), plng.ravel(), row["ring_lat"], row["ring_lng"]
+        ).reshape(H, W)
+        zone[inside] = zid
+    return zone
+
+
+def test_rasterize_matches_numpy(spark):
+    polys, rows = _polys(spark)
+    zr = SP.rasterize_polygons(spark, polys, "z", H, W, BOUNDS, tile_size=16)
+    got = zr.collect_array("z")
+    np.testing.assert_array_equal(got, _expected_zone(rows))
+
+
+def test_zonal_by_rasterized_polygons(spark):
+    polys, rows = _polys(spark)
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0, 100, (H, W))
+    v = TileRaster.from_arrays(spark, {"z": vals}, tile_size=16)
+    zr = SP.rasterize_polygons(spark, polys, "z", H, W, BOUNDS, tile_size=16)
+    out = {r["zone"]: r for r in Z.zonal_stats(v, zr).collect()}
+    zone = _expected_zone(rows)
+    for zid in (-1, 0, 1):
+        sel = vals[zone == zid]
+        assert out[zid]["zcount"] == sel.size
+        assert out[zid]["zsum"] == pytest.approx(sel.sum())
+        assert out[zid]["zmin"] == pytest.approx(sel.min())
+        assert out[zid]["zmax"] == pytest.approx(sel.max())
