@@ -193,3 +193,22 @@ def test_zonal_by_polygon(spark):
     for pid in exp:
         assert got[pid][0] == pytest.approx(exp[pid][0])
         assert got[pid][1] == exp[pid][1]
+
+
+def test_band_algebra_over_rgba_image(spark):
+    """NDVI-style fused band math on an ingested RGBA image — bands are
+    TileRasters sharing (raster_id, ty, tx), so the zip join aligns."""
+    from mapalgebra_spark.raster import TileRaster
+
+    images = datagen.generate_images_df(spark, 4).filter(
+        F.col("image_id") == "img00000003"  # the RGBA one (i % 7 == 3)
+    )
+    tr = ingest.tiles_from_images(images, tile_size=256)
+    b0 = TileRaster(tr.df.filter(F.col("band") == 0))
+    b1 = TileRaster(tr.df.filter(F.col("band") == 1))
+    ndvi = ((b0.astype("float64") - b1.astype("float64"))
+            / (b0.astype("float64") + b1.astype("float64") + 1e-9))
+    got = ndvi.collect_array("img00000003")
+    pix = datagen.render_pixels(3, 256, 256, True).astype(np.float64)  # SIZES[3 % 3]
+    ref = (pix[..., 0] - pix[..., 1]) / (pix[..., 0] + pix[..., 1] + 1e-9)
+    np.testing.assert_allclose(got, ref)
