@@ -281,6 +281,65 @@ def k_fpercentile(p: np.ndarray) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# GaCM focal ops the reference omits (README.md:129-130 "Except for
+# Focal Ranking and Focal Insularity, all Focal Operations ... are
+# provided").  Semantics are OURS, defined here, since there is no
+# reference implementation to match; both follow the fpercentile family
+# convention (border Continue, focus compared against its 8 neighbours).
+# ---------------------------------------------------------------------------
+
+
+def k_frank(p: np.ndarray) -> np.ndarray:
+    """Focal Ranking: competition rank (ascending, "1224" style) of the
+    focal value within its 3x3 neighbourhood — 1 + the number of
+    neighbourhood cells strictly smaller than the focus.  Ties share the
+    smaller rank.  Border Continue, like the other comparison-against-
+    focus ops (fpercentile, MA:842-852)."""
+    nw, no, ne, we, fo, ea, sw, so, se = shifts(p)
+    acc = np.ones(fo.shape, dtype=np.float64)
+    for s in (nw, no, ne, we, ea, sw, so, se):
+        acc += s < fo
+    return acc
+
+
+#: 4-connected adjacency between the 9 slots of a 3x3 window, indexed
+#: row-major 0..8 (nw no ne / we fo ea / sw so se).
+_INSULARITY_EDGES = (
+    (0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8),  # horizontal
+    (0, 3), (3, 6), (1, 4), (4, 7), (2, 5), (5, 8),  # vertical
+)
+
+
+def k_finsularity(p: np.ndarray) -> np.ndarray:
+    """Focal Insularity: number of 4-connected clumps of equal-valued
+    cells inside the 3x3 neighbourhood (a clump = maximal set of cells
+    with identical value connected through N/S/E/W steps within the
+    window).  Border Continue.  uint64, range 1..9.
+
+    Vectorized min-label propagation: each slot starts with its own
+    index as label; sweeping the 12 window adjacencies 8 times (a clump
+    snaking through all 9 slots is 8 edges long, and one sweep advances
+    a minimum label at least one hop) propagates every clump's minimum
+    index to all members, so the clump count is the number of slots
+    still holding their own index.  Verified against a brute-force
+    union-find oracle in tests.
+    """
+    ss = shifts(p)
+    h, w = ss[4].shape
+    labels = [np.full((h, w), i, dtype=np.int8) for i in range(9)]
+    for _ in range(8):
+        for i, j in _INSULARITY_EDGES:
+            eq = ss[i] == ss[j]
+            m = np.minimum(labels[i], labels[j])
+            labels[i] = np.where(eq, m, labels[i])
+            labels[j] = np.where(eq, m, labels[j])
+    out = np.zeros((h, w), dtype=np.uint64)
+    for i in range(9):
+        out += labels[i] == i
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Lineal ops — MA:854-900. Bit layout (MA:1185-1195):
 #   [  1   2   4 ]      bit0=NW bit1=N bit2=NE
 #   [  8       16]      bit3=W         bit4=E

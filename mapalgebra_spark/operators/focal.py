@@ -75,6 +75,10 @@ FOCAL_OPS: dict[str, FocalSpec] = {
     "fminority": FocalSpec("fminority", K.k_fminority, K.BORDER_CONTINUE),
     "fpercentage": FocalSpec("fpercentage", K.k_fpercentage, K.BORDER_CONTINUE),
     "fpercentile": FocalSpec("fpercentile", K.k_fpercentile, K.BORDER_CONTINUE),
+    # GaCM ops absent from the reference (README.md:129-130) — our
+    # semantics, documented in kernels.k_frank / k_finsularity
+    "frank": FocalSpec("frank", K.k_frank, K.BORDER_CONTINUE),
+    "finsularity": FocalSpec("finsularity", K.k_finsularity, K.BORDER_CONTINUE),
     "flinkage": FocalSpec("flinkage", K.k_flinkage, K.BORDER_FILL, 0),
     "fpartition": FocalSpec("fpartition", K.k_fpartition, K.BORDER_REFLECT),
     "fshape": FocalSpec("fshape", K.k_fshape, K.BORDER_REFLECT),
@@ -341,6 +345,16 @@ def fpercentage(tr):  # MapAlgebra.hs:828-838
 
 def fpercentile(tr):  # MapAlgebra.hs:842-852
     return focal(tr, "fpercentile")
+
+
+def frank(tr):  # GaCM Focal Ranking — omitted by the reference
+    # (README.md:129-130); our semantics in kernels.k_frank
+    return focal(tr, "frank")
+
+
+def finsularity(tr):  # GaCM Focal Insularity — omitted by the reference
+    # (README.md:129-130); our semantics in kernels.k_finsularity
+    return focal(tr, "finsularity")
 
 
 def flinkage(tr):  # MapAlgebra.hs:860-880

@@ -216,6 +216,17 @@ def q_fpercentile(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fpercentile", "fple")
 
 
+def q_frank(spark, sf_dir):
+    # GaCM Focal Ranking (omitted by the reference, README.md:129-130)
+    return _focal_rows(spark, sf_dir, "frank", "frk")
+
+
+def q_finsularity(spark, sf_dir):
+    # GaCM Focal Insularity — rows-only check: 4-connected clump
+    # counting is not reasonably SQL (validated vs union-find in tests)
+    return _focal_rows(spark, sf_dir, "finsularity", "fins", col="ival", dtype="int64")
+
+
 def q_fvolume(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fvolume", "fvol", round6=True)
 
@@ -515,6 +526,14 @@ SELECT nbr.gy, nbr.gx,
 FROM nbr JOIN grid g2 ON g2.gy = nbr.gy AND g2.gx = nbr.gx
 GROUP BY nbr.gy, nbr.gx
 """
+ORACLE["frank_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, n.val AS v {_JOIN_INNER})
+SELECT nbr.gy, nbr.gx,
+  CAST(1 + sum(CASE WHEN nbr.v < g2.val THEN 1 ELSE 0 END) AS DOUBLE) AS frk
+FROM nbr JOIN grid g2 ON g2.gy = nbr.gy AND g2.gx = nbr.gx
+GROUP BY nbr.gy, nbr.gx
+"""
 ORACLE["fvolume_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_CLAMP},
 nb AS ({_pivot9(_JOIN_INNER)}),
@@ -723,6 +742,8 @@ QUERIES = {
     "fminority_grid": q_fminority,
     "fpercentage_grid": q_fpercentage,
     "fpercentile_grid": q_fpercentile,
+    "frank_grid": q_frank,
+    "finsularity_grid": q_finsularity,  # rows-only
     "fvolume_grid": q_fvolume,
     "fgradient_grid": q_fgradient,
     "faspect_grid": q_faspect,

@@ -283,6 +283,73 @@ def test_fpercentage_fpercentile():
     assert ple[1, 1] == 1.0
 
 
+# --- frank / finsularity: GaCM ops the reference omits (README.md:129-130);
+# no Haskell golden exists, so validate against brute-force oracles ----------
+
+
+def test_frank_goldens():
+    arr = np.array([[1, 1, 1], [1, 2, 1], [1, 1, 1]], np.float64)
+    rk = run_focal(arr, K.k_frank, K.BORDER_CONTINUE)
+    assert rk[1, 1] == 9.0  # focus 2 beats all 8 neighbours → rank 9
+    assert rk[0, 0] == 1.0  # focus 1 ties the other 1s, loses to 2s → rank 1
+    flat = np.zeros((4, 5))
+    assert (run_focal(flat, K.k_frank, K.BORDER_CONTINUE) == 1).all()
+
+
+def _insularity_bruteforce(win: np.ndarray) -> int:
+    """Union-find clump count over one 3x3 window (4-connectivity)."""
+    parent = list(range(9))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for r in range(3):
+        for c in range(3):
+            for dr, dc in ((0, 1), (1, 0)):
+                r2, c2 = r + dr, c + dc
+                if r2 < 3 and c2 < 3 and win[r, c] == win[r2, c2]:
+                    a, b = find(r * 3 + c), find(r2 * 3 + c2)
+                    parent[max(a, b)] = min(a, b)
+    return len({find(i) for i in range(9)})
+
+
+def test_finsularity_goldens():
+    flat = np.zeros((3, 3))
+    assert (run_focal(flat, K.k_finsularity, K.BORDER_CONTINUE) == 1).all()
+    checker = np.indices((5, 5)).sum(axis=0) % 2
+    ins = run_focal(checker, K.k_finsularity, K.BORDER_CONTINUE)
+    # interior checkerboard window: 5 isolated cells of one colour + 4 of
+    # the other = 9 clumps
+    assert (ins[1:-1, 1:-1] == 9).all()
+
+
+def test_finsularity_matches_bruteforce_random():
+    rng = np.random.default_rng(7)
+    for _ in range(4):
+        arr = rng.integers(0, 3, size=(9, 11)).astype(np.int64)
+        padded = K.pad_block(arr, K.BORDER_CONTINUE, 0)
+        out = K.k_finsularity(padded)
+        for y in range(arr.shape[0]):
+            for x in range(arr.shape[1]):
+                win = padded[y : y + 3, x : x + 3]
+                assert out[y, x] == _insularity_bruteforce(win), (y, x, win)
+
+
+def test_frank_matches_bruteforce_random():
+    rng = np.random.default_rng(8)
+    arr = rng.integers(0, 4, size=(8, 9)).astype(np.float64)
+    padded = K.pad_block(arr, K.BORDER_CONTINUE, 0)
+    out = K.k_frank(padded)
+    for y in range(arr.shape[0]):
+        for x in range(arr.shape[1]):
+            win = padded[y : y + 3, x : x + 3]
+            expect = 1 + int((win < win[1, 1]).sum())
+            assert out[y, x] == expect
+
+
 # --- local stacks (Test.hs:51-57) -------------------------------------------
 
 

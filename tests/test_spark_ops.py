@@ -37,13 +37,14 @@ ALL_FOCAL = [
     "fmajority", "fminority", "fpercentage", "fpercentile",
     "flinkage", "fpartition", "fshape", "fvolume",
     "fgradient", "faspect", "faspect_unsafe", "fdownstream",
+    "frank", "finsularity",
 ]
 
 
 @pytest.mark.parametrize("op", ALL_FOCAL)
 @pytest.mark.parametrize("tile_size", [7, 32])
 def test_focal_matches_reference_multi_tile(spark, op, tile_size):
-    arr = INTS if op in ("fvariety", "fmajority", "fminority", "flinkage", "fpartition", "fshape") else TERRAIN
+    arr = INTS if op in ("fvariety", "fmajority", "fminority", "flinkage", "fpartition", "fshape", "finsularity") else TERRAIN
     tr = make_tr(spark, arr, tile_size)
     out = FO.focal(tr, op).collect_array("r0")
     ref = ref_focal(arr, op)
