@@ -1,0 +1,367 @@
+"""Extended-neighbourhood focal engine — radius-r stencils.
+
+The reference fixes every focal op at a 3x3 window and lists "Extended
+neighbourhoods for Focal Ops" as future work (README.md:163); here the
+halo machinery generalizes to any radius r >= 1 over (2r+1)x(2r+1)
+windows.  Semantics are the natural extension of the radius-1 ops
+(same border mode per op; divisors become the window population).
+
+Distribution model (the radius-r generalization of operators/focal.py):
+
+1. **strip exchange** — one ``mapInPandas`` over the tile table emits,
+   per tile, the sub-blocks of its core that fall inside any other
+   tile's halo box ``[y0-r, y0+h+r) x [x0-r, x0+w+r)``.  Receivers are
+   addressed by *absolute pixel rectangles*, so thin clipped edge tiles
+   and even multi-hop halos (radius larger than a neighbour tile) route
+   correctly.  Shipped bytes ~= 2r(h+w)/(hw) of the raster (~1.6% * r
+   for 256px tiles) — only these strips cross the shuffle.  (Radius 1
+   stays on the faster pure-JVM aux-column path in operators/focal.py;
+   this engine's Python emit pass re-reads tile bytes once.)
+2. the strips collapse to one row per receiving tile
+   (``collect_list``), join back to the tile table on the tile key, and
+3. one ``mapInPandas`` pastes core + strips into an (h+2r, w+2r)
+   canvas, synthesizes true-raster-edge bands with the op's border rule
+   (``np.pad`` on the cropped real region — axis order matches a
+   global ``np.pad`` of the whole raster, verified in
+   tests/test_focal_ext.py incl. multi-hop and 1px-sliver tiles), and
+   runs ALL requested window kernels in one pass.
+
+At 100 TB the strip exchange is the only shuffle, identical in shape to
+the radius-1 flagship; kernel cost grows with the window area, shuffle
+volume only with r.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import kernels as K
+from ..raster import TileRaster
+from ..tiles import (
+    KEY_COLS,
+    TILE_SCHEMA,
+    TILE_SIZE,
+    aux_blobs,
+    decode_block,
+    encode_block,
+)
+
+# ---------------------------------------------------------------------------
+# Generic (2r+1)x(2r+1) window kernels.  Each takes the padded
+# (h+2r, w+2r) block and the radius, returns the (h, w) core result.
+# ---------------------------------------------------------------------------
+
+
+def _win(p: np.ndarray, r: int) -> np.ndarray:
+    """(h, w, k, k) sliding-window view (zero-copy) of the padded block."""
+    k = 2 * r + 1
+    return np.lib.stride_tricks.sliding_window_view(p, (k, k))
+
+
+def _focus(p: np.ndarray, r: int) -> np.ndarray:
+    return p[r:-r, r:-r]
+
+
+def k_rsum(p, r):
+    return _win(p, r).sum(axis=(2, 3))
+
+
+def k_rproduct(p, r):
+    return _win(p, r).prod(axis=(2, 3))
+
+
+def k_rmean(p, r):
+    k = 2 * r + 1
+    return _win(p, r).sum(axis=(2, 3)) / float(k * k)
+
+
+def k_rmax(p, r):
+    return _win(p, r).max(axis=(2, 3))
+
+
+def k_rmin(p, r):
+    return _win(p, r).min(axis=(2, 3))
+
+
+def k_rvariety(p, r):
+    k = 2 * r + 1
+    w = _win(p, r)
+    s = np.sort(w.reshape(w.shape[0], w.shape[1], k * k), axis=-1)
+    return (np.ones(s.shape[:2], dtype=np.uint64)
+            + (s[..., 1:] != s[..., :-1]).sum(axis=-1).astype(np.uint64))
+
+
+def _win_planes(p, r):
+    k = 2 * r + 1
+    w = _win(p, r)
+    return [w[..., i, j] for i in range(k) for j in range(k)]
+
+
+def k_rmajority(p, r):
+    # O(k^4) per pixel via the sorted-stack counts (fine for the
+    # correctness path; tie → smallest value, matching radius-1 majo)
+    return K.stack_majority(_win_planes(p, r))
+
+
+def k_rminority(p, r):
+    return K.stack_minority(_win_planes(p, r))
+
+
+def k_rpercentage(p, r):
+    k = 2 * r + 1
+    fo = _focus(p, r)
+    eq = (_win(p, r) == fo[..., None, None]).sum(axis=(2, 3))
+    return (eq - 1.0) / float(k * k - 1)  # focus always equals itself
+
+
+def k_rpercentile(p, r):
+    k = 2 * r + 1
+    lt = (_win(p, r) < _focus(p, r)[..., None, None]).sum(axis=(2, 3))
+    return lt / float(k * k - 1)
+
+
+def k_rrank(p, r):
+    return 1.0 + (_win(p, r) < _focus(p, r)[..., None, None]).sum(axis=(2, 3))
+
+
+@dataclass(frozen=True)
+class RadialSpec:
+    """A radius-parametric focal op: kernel(padded, r) + border mode."""
+
+    name: str
+    kernel: Callable[[np.ndarray, int], np.ndarray]
+    mode: str
+    fill: float = 0
+    cast: str | None = None
+
+
+#: border modes follow the radius-1 counterparts (operators/focal.py)
+RADIAL_OPS: dict[str, RadialSpec] = {
+    "fsum": RadialSpec("fsum", k_rsum, K.BORDER_FILL, 0, cast="float64"),
+    "fproduct": RadialSpec("fproduct", k_rproduct, K.BORDER_FILL, 1, cast="float64"),
+    "fmean": RadialSpec("fmean", k_rmean, K.BORDER_FILL, 0, cast="float64"),
+    "fmax": RadialSpec("fmax", k_rmax, K.BORDER_EDGE),
+    "fmin": RadialSpec("fmin", k_rmin, K.BORDER_EDGE),
+    "fvariety": RadialSpec("fvariety", k_rvariety, K.BORDER_EDGE),
+    "fmajority": RadialSpec("fmajority", k_rmajority, K.BORDER_CONTINUE),
+    "fminority": RadialSpec("fminority", k_rminority, K.BORDER_CONTINUE),
+    "fpercentage": RadialSpec(
+        "fpercentage", k_rpercentage, K.BORDER_CONTINUE, cast="float64"
+    ),
+    "fpercentile": RadialSpec(
+        "fpercentile", k_rpercentile, K.BORDER_CONTINUE, cast="float64"
+    ),
+    "frank": RadialSpec("frank", k_rrank, K.BORDER_CONTINUE, cast="float64"),
+}
+
+
+# ---------------------------------------------------------------------------
+# Strip exchange + assembly
+# ---------------------------------------------------------------------------
+
+_STRIP_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("ty", T.IntegerType()),
+        T.StructField("tx", T.IntegerType()),
+        T.StructField("oy", T.IntegerType()),
+        T.StructField("ox", T.IntegerType()),
+        T.StructField("sh", T.IntegerType()),
+        T.StructField("sw", T.IntegerType()),
+        T.StructField("sdtype", T.StringType()),
+        T.StructField("strip", T.BinaryType()),
+    ]
+)
+
+
+def _pitch_checked(row, pitch: int):
+    """Fail fast if the tile grid pitch disagrees with the data (the
+    engine's runtime analog of the reference's type-level dims)."""
+    ty, tx, nty, ntx = int(row["ty"]), int(row["tx"]), int(row["nty"]), int(row["ntx"])
+    h, w = int(row["h"]), int(row["w"])
+    if ty < nty - 1 and h != pitch:
+        raise ValueError(
+            f"tile_pitch={pitch} but interior tile ({ty},{tx}) has h={h}; "
+            "pass the tile_size used at ingest"
+        )
+    if tx < ntx - 1 and w != pitch:
+        raise ValueError(
+            f"tile_pitch={pitch} but interior tile ({ty},{tx}) has w={w}; "
+            "pass the tile_size used at ingest"
+        )
+
+
+def _emit_strips(src, radius: int, pitch: int):
+    r = radius
+
+    def emit(batches):
+        for pdf in batches:
+            out = {c.name: [] for c in _STRIP_SCHEMA.fields}
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                _pitch_checked(row, pitch)
+                ty, tx = int(row["ty"]), int(row["tx"])
+                nty, ntx = int(row["nty"]), int(row["ntx"])
+                rh, rw = int(row["rh"]), int(row["rw"])
+                h, w = int(row["h"]), int(row["w"])
+                if int(row["planes"]) != 1:
+                    raise ValueError("focal_radius supports planes == 1 blocks")
+                core = decode_block(row["tile"], row["dtype"], h, w, 1)
+                y0, x0 = ty * pitch, tx * pitch
+                hops = r // pitch + 1
+                for ty2 in range(max(0, ty - hops), min(nty, ty + hops + 1)):
+                    for tx2 in range(max(0, tx - hops), min(ntx, tx + hops + 1)):
+                        if ty2 == ty and tx2 == tx:
+                            continue
+                        y0b, x0b = ty2 * pitch, tx2 * pitch
+                        hb = min(pitch, rh - y0b)
+                        wb = min(pitch, rw - x0b)
+                        # receiver halo box ∩ my core
+                        ry_lo, ry_hi = max(y0, y0b - r), min(y0 + h, y0b + hb + r)
+                        rx_lo, rx_hi = max(x0, x0b - r), min(x0 + w, x0b + wb + r)
+                        if ry_lo >= ry_hi or rx_lo >= rx_hi:
+                            continue
+                        blk = core[ry_lo - y0 : ry_hi - y0, rx_lo - x0 : rx_hi - x0]
+                        out["raster_id"].append(row["raster_id"])
+                        out["band"].append(int(row["band"]))
+                        out["ty"].append(ty2)
+                        out["tx"].append(tx2)
+                        out["oy"].append(ry_lo - (y0b - r))
+                        out["ox"].append(rx_lo - (x0b - r))
+                        out["sh"].append(ry_hi - ry_lo)
+                        out["sw"].append(rx_hi - rx_lo)
+                        out["sdtype"].append(str(core.dtype))
+                        out["strip"].append(encode_block(blk))
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(emit, _STRIP_SCHEMA)
+
+
+def focal_radius(
+    tr: TileRaster,
+    ops: list[str | RadialSpec],
+    radius: int,
+    tile_pitch: int = TILE_SIZE,
+    persist_combined: bool = True,
+) -> dict[str, TileRaster]:
+    """Run radius-``radius`` focal ops over ONE strip exchange.
+
+    ``tile_pitch`` must be the tile size used when the raster was tiled
+    (TILE_SIZE for the image pipeline, gridq.GRID_TILE for grid
+    queries) — checked fail-fast against interior tile dims.
+    """
+    if radius < 1:
+        raise ValueError("radius >= 1")
+    r = radius
+    specs = [RADIAL_OPS[o] if isinstance(o, str) else o for o in ops]
+    src = tr.strict().df.repartition(*[F.col(c) for c in KEY_COLS])
+    strips = _emit_strips(src, r, tile_pitch)
+    halo = strips.groupBy(*KEY_COLS).agg(
+        F.collect_list(
+            F.struct("oy", "ox", "sh", "sw", "sdtype", "strip")
+        ).alias("halo")
+    )
+    joined = src.join(halo.hint("shuffle_hash"), on=KEY_COLS, how="left")
+
+    from ..tiles import AUX_COLS
+
+    computed = {"tile", "dtype", "planes", *AUX_COLS}
+    plain_cols = [f.name for f in TILE_SCHEMA.fields if f.name not in computed]
+    out_fields = [f for f in TILE_SCHEMA.fields if f.name not in computed]
+    for s in specs:
+        out_fields = out_fields + [
+            T.StructField(f"tile_{s.name}", T.BinaryType()),
+            T.StructField(f"dtype_{s.name}", T.StringType()),
+            T.StructField(f"planes_{s.name}", T.IntegerType()),
+        ] + [T.StructField(f"{c}_{s.name}", T.BinaryType()) for c in AUX_COLS]
+    out_schema = T.StructType(out_fields)
+
+    def run(batches):
+        for pdf in batches:
+            n = len(pdf)
+            res_tile = {s.name: [None] * n for s in specs}
+            res_dt = {s.name: [None] * n for s in specs}
+            res_aux = {(s.name, c): [None] * n for s in specs for c in AUX_COLS}
+            for i in range(n):
+                row = pdf.iloc[i]
+                h, w = int(row["h"]), int(row["w"])
+                ty, tx = int(row["ty"]), int(row["tx"])
+                rh, rw = int(row["rh"]), int(row["rw"])
+                core = decode_block(row["tile"], row["dtype"], h, w, 1)
+                y0, x0 = ty * tile_pitch, tx * tile_pitch
+                canvas = np.zeros((h + 2 * r, w + 2 * r), dtype=core.dtype)
+                filled = np.zeros((h + 2 * r, w + 2 * r), dtype=bool)
+                canvas[r : r + h, r : r + w] = core
+                filled[r : r + h, r : r + w] = True
+                hl = row["halo"]
+                if isinstance(hl, (list, np.ndarray)):  # None/NaN when no strips
+                    for srow in hl:
+                        sh, sw = int(srow["sh"]), int(srow["sw"])
+                        oy, ox = int(srow["oy"]), int(srow["ox"])
+                        canvas[oy : oy + sh, ox : ox + sw] = decode_block(
+                            srow["strip"], srow["sdtype"], sh, sw, 1
+                        )
+                        filled[oy : oy + sh, ox : ox + sw] = True
+                # true-raster-edge band thickness per side
+                pt, pb = max(0, r - y0), max(0, y0 + h + r - rh)
+                pl, pr = max(0, r - x0), max(0, x0 + w + r - rw)
+                H2, W2 = h + 2 * r, w + 2 * r
+                real = filled[pt : H2 - pb, pl : W2 - pr]
+                if not real.all():
+                    raise AssertionError(
+                        f"halo under-coverage at tile ({ty},{tx}) radius {r}"
+                    )
+                ext = canvas[pt : H2 - pb, pl : W2 - pr]
+                for s in specs:
+                    e = ext.astype(np.dtype(s.cast)) if s.cast else ext
+                    if pt or pb or pl or pr:
+                        kw = (
+                            {"constant_values": s.fill}
+                            if s.mode == K.BORDER_FILL
+                            else {}
+                        )
+                        padded = np.pad(e, ((pt, pb), (pl, pr)), mode=s.mode, **kw)
+                    else:
+                        padded = e
+                    res = np.asarray(s.kernel(padded, r))
+                    res_tile[s.name][i] = encode_block(res)
+                    res_dt[s.name][i] = str(res.dtype)
+                    for c, v in aux_blobs(res).items():
+                        res_aux[(s.name, c)][i] = v
+            out = pdf[plain_cols].copy()
+            for s in specs:
+                out[f"tile_{s.name}"] = res_tile[s.name]
+                out[f"dtype_{s.name}"] = res_dt[s.name]
+                out[f"planes_{s.name}"] = 1
+                for c in AUX_COLS:
+                    out[f"{c}_{s.name}"] = res_aux[(s.name, c)]
+            yield out[[f.name for f in out_fields]]
+
+    combined = joined.mapInPandas(run, out_schema)
+    if len(specs) > 1 and persist_combined:
+        combined = combined.persist()
+    result = {}
+    for s in specs:
+        sel = combined.select(
+            *plain_cols,
+            F.col(f"dtype_{s.name}").alias("dtype"),
+            F.col(f"planes_{s.name}").alias("planes"),
+            F.col(f"tile_{s.name}").alias("tile"),
+            *[F.col(f"{c}_{s.name}").alias(c) for c in AUX_COLS],
+        ).select(*[f.name for f in TILE_SCHEMA.fields])
+        result[s.name] = TileRaster(sel)
+        result[s.name]._combined = combined
+    return result
+
+
+def focal_r(tr: TileRaster, op: str | RadialSpec, radius: int, **kw) -> TileRaster:
+    """Single radius-r focal op (see RADIAL_OPS)."""
+    spec = RADIAL_OPS[op] if isinstance(op, str) else op
+    return focal_radius(tr, [spec], radius, **kw)[spec.name]

@@ -216,6 +216,29 @@ def q_fpercentile(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fpercentile", "fple")
 
 
+def _focal_r_rows(spark, sf_dir, op, out_name, radius, col="val", dtype="float64", round6=False):
+    from .gridq import GRID_TILE
+    from .operators import focal_ext as FX
+
+    tr, _, _ = _val_tiles(spark, sf_dir, col, dtype)
+    out = FX.focal_r(tr, op, radius, tile_pitch=GRID_TILE)
+    rows = tiles_to_rows(out, out_name)
+    return _r6(rows, out_name) if round6 else rows
+
+
+def q_fsum_r2(spark, sf_dir):
+    # extended neighbourhood (5x5) — reference future work (README.md:163)
+    return _focal_r_rows(spark, sf_dir, "fsum", "fsum2", radius=2)
+
+
+def q_fmean_r2(spark, sf_dir):
+    return _focal_r_rows(spark, sf_dir, "fmean", "fmean2", radius=2, round6=True)
+
+
+def q_fmax_r2(spark, sf_dir):
+    return _focal_r_rows(spark, sf_dir, "fmax", "fmax2", radius=2)
+
+
 def q_frank(spark, sf_dir):
     # GaCM Focal Ranking (omitted by the reference, README.md:129-130)
     return _focal_rows(spark, sf_dir, "frank", "frk")
@@ -526,6 +549,40 @@ SELECT nbr.gy, nbr.gx,
 FROM nbr JOIN grid g2 ON g2.gy = nbr.gy AND g2.gx = nbr.gx
 GROUP BY nbr.gy, nbr.gx
 """
+# radius-2 (5x5) extended neighbourhoods: 25-offset CTE variants
+_OFFS2 = (
+    "offs2 AS (SELECT a.range AS dy, b.range AS dx "
+    "FROM range(-2,3) a CROSS JOIN range(-2,3) b)"
+)
+_COORDS2_FILL = (
+    "coords AS (SELECT g.gy, g.gx, o.dy, o.dx, "
+    "CAST(g.gy+o.dy AS INT) AS cy, CAST(g.gx+o.dx AS INT) AS cx "
+    "FROM grid g CROSS JOIN offs2 o)"
+)
+_COORDS2_CLAMP = (
+    "coords AS (SELECT g.gy, g.gx, o.dy, o.dx, "
+    "CAST(least(greatest(g.gy+o.dy, 0), d.g-1) AS INT) AS cy, "
+    "CAST(least(greatest(g.gx+o.dx, 0), d.g-1) AS INT) AS cx "
+    "FROM grid g CROSS JOIN offs2 o CROSS JOIN dims d)"
+)
+ORACLE["fsum_r2_grid"] = f"""
+WITH {GRID_CTE}, {_OFFS2}, {_COORDS2_FILL}
+SELECT c.gy, c.gx, sum(n.val) AS fsum2
+{_JOIN_LEFT}
+GROUP BY c.gy, c.gx
+"""
+ORACLE["fmean_r2_grid"] = f"""
+WITH {GRID_CTE}, {_OFFS2}, {_COORDS2_FILL}
+SELECT c.gy, c.gx, round(sum(COALESCE(n.val, 0))/25.0, 6) AS fmean2
+{_JOIN_LEFT}
+GROUP BY c.gy, c.gx
+"""
+ORACLE["fmax_r2_grid"] = f"""
+WITH {GRID_CTE}, {_OFFS2}, {_COORDS2_CLAMP}
+SELECT c.gy, c.gx, max(n.val) AS fmax2
+{_JOIN_INNER}
+GROUP BY c.gy, c.gx
+"""
 ORACLE["frank_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_MIRROR},
 nbr AS (SELECT c.gy, c.gx, n.val AS v {_JOIN_INNER})
@@ -744,6 +801,9 @@ QUERIES = {
     "fpercentile_grid": q_fpercentile,
     "frank_grid": q_frank,
     "finsularity_grid": q_finsularity,  # rows-only
+    "fsum_r2_grid": q_fsum_r2,
+    "fmean_r2_grid": q_fmean_r2,
+    "fmax_r2_grid": q_fmax_r2,
     "fvolume_grid": q_fvolume,
     "fgradient_grid": q_fgradient,
     "faspect_grid": q_faspect,
