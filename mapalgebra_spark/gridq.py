@@ -147,10 +147,14 @@ def grid_to_tiles(grid: DataFrame, G: int, col: str, dtype: str, rid: str) -> Ti
 _GRID_OUT = "gy int, gx int, out double"
 
 
-def tiles_to_rows(tr: TileRaster, out_name: str = "out", nan_to_null: bool = False) -> DataFrame:
+def tiles_to_rows(
+    tr: TileRaster, out_name: str = "out", nan_to_null: bool = False,
+    tile_pitch: int | None = None,
+) -> DataFrame:
     """Explode a (single-raster) tile table back to (gy, gx, out) rows —
-    oracle-comparison path only."""
-    ts = GRID_TILE
+    oracle-comparison path only.  ``tile_pitch`` overrides the grid's
+    default tile size (e.g. 2x after pyramid.upsample2)."""
+    ts = tile_pitch or GRID_TILE
 
     schema = T.StructType(
         [

@@ -127,3 +127,127 @@ def build_pyramid(tr: TileRaster, levels: int, tile_size: int = 256) -> list[Til
     for _ in range(levels):
         out.append(downsample2(out[-1], tile_size).strict(persist=True))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Upsampling — the other half of the reference's "Upsampling and
+# Downsampling" future-work item (README.md:164).  2x per call; raster
+# dims double, the tile GRID stays fixed (each tile doubles in place, so
+# the effective tile pitch doubles — no re-keying shuffle).
+# ---------------------------------------------------------------------------
+
+
+def upsample2_nearest_np(a: np.ndarray) -> np.ndarray:
+    """Full-array oracle: each cell becomes a 2x2 block."""
+    return np.repeat(np.repeat(a, 2, axis=-2), 2, axis=-1)
+
+
+def upsample2_bilinear_np(a: np.ndarray) -> np.ndarray:
+    """Full-array oracle, top-left-aligned bilinear doubling with edge
+    clamp: out[2i,2j]=v[i,j]; out[2i,2j+1]=(v[i,j]+v[i,j+1])/2 (column
+    j+1 clamped); rows likewise; odd-odd cells average the 2x2."""
+    f = a.astype(np.float64)
+    e = np.concatenate([f[..., :, 1:], f[..., :, -1:]], axis=-1)  # east, clamped
+    s = np.concatenate([f[..., 1:, :], f[..., -1:, :]], axis=-2)  # south, clamped
+    se = np.concatenate([s[..., :, 1:], s[..., :, -1:]], axis=-1)
+    h, w = a.shape[-2], a.shape[-1]
+    out = np.empty(a.shape[:-2] + (2 * h, 2 * w), dtype=np.float64)
+    out[..., 0::2, 0::2] = f
+    out[..., 0::2, 1::2] = (f + e) / 2.0
+    out[..., 1::2, 0::2] = (f + s) / 2.0
+    out[..., 1::2, 1::2] = (f + e + s + se) / 4.0
+    return out
+
+
+def upsample2(tr: TileRaster, method: str = "bilinear") -> TileRaster:
+    """Distributed 2x upsample.
+
+    ``nearest`` is shuffle-free (pure per-tile map).  ``bilinear``
+    needs each tile's E/S/SE edge strips — one radius-1 halo exchange
+    over the JVM aux columns (operators/focal.py machinery) with Edge
+    border at true raster edges (= the oracle's clamp) — and matches
+    ``upsample2_bilinear_np`` of the full raster exactly across tile
+    boundaries (tests/test_pyramid.py).
+    """
+    if method not in ("nearest", "bilinear"):
+        raise ValueError(method)
+    src = tr.strict().df
+
+    if method == "nearest":
+        def run_nn(batches):
+            for pdf in batches:
+                rows = []
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i]
+                    block = decode_block(
+                        row["tile"], row["dtype"], int(row["h"]), int(row["w"]),
+                        int(row["planes"]),
+                    )
+                    big = upsample2_nearest_np(block)
+                    rows.append(_upsampled_row(row, big))
+                yield pd.DataFrame(rows)
+
+        return TileRaster(src.mapInPandas(run_nn, TILE_SCHEMA))
+
+    from . import focal as FO
+    from ..tiles import KEY_COLS, assemble_halo
+    from pyspark.sql import functions as F
+
+    strips = FO._strips_jvm(src)
+    halo = strips.groupBy(*KEY_COLS).agg(
+        F.collect_list("strip_entry").alias("halo")
+    )
+    joined = src.join(halo.hint("shuffle_hash"), on=KEY_COLS, how="left")
+
+    def run_bl(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                h, w, planes = int(row["h"]), int(row["w"]), int(row["planes"])
+                core = decode_block(row["tile"], row["dtype"], h, w, planes)
+                strips_raw = {}
+                hl = row["halo"]
+                if isinstance(hl, (list, np.ndarray)):
+                    for srow in hl:
+                        strips_raw[int(srow["pos"])] = decode_block(
+                            srow["strip"], srow["sdtype"], int(srow["sh"]),
+                            int(srow["sw"]), int(srow["splanes"]),
+                        )
+                at = dict(
+                    at_n=int(row["ty"]) == 0,
+                    at_s=int(row["ty"]) == int(row["nty"]) - 1,
+                    at_w=int(row["tx"]) == 0,
+                    at_e=int(row["tx"]) == int(row["ntx"]) - 1,
+                )
+                p = assemble_halo(
+                    core.astype(np.float64),
+                    {k: v.astype(np.float64) for k, v in strips_raw.items()},
+                    "edge", **at,
+                )
+                f = p[..., 1:-1, 1:-1]
+                e = p[..., 1:-1, 2:]
+                s = p[..., 2:, 1:-1]
+                se = p[..., 2:, 2:]
+                big = np.empty(core.shape[:-2] + (2 * h, 2 * w), dtype=np.float64)
+                big[..., 0::2, 0::2] = f
+                big[..., 0::2, 1::2] = (f + e) / 2.0
+                big[..., 1::2, 0::2] = (f + s) / 2.0
+                big[..., 1::2, 1::2] = (f + e + s + se) / 4.0
+                rows.append(_upsampled_row(row, big))
+            yield pd.DataFrame(rows)
+
+    return TileRaster(joined.mapInPandas(run_bl, TILE_SCHEMA))
+
+
+def _upsampled_row(row, big: np.ndarray) -> dict:
+    return dict(
+        raster_id=row["raster_id"], band=int(row["band"]),
+        ty=int(row["ty"]), tx=int(row["tx"]),
+        h=big.shape[-2], w=big.shape[-1],
+        nty=int(row["nty"]), ntx=int(row["ntx"]),
+        rh=2 * int(row["rh"]), rw=2 * int(row["rw"]),
+        dtype=str(big.dtype), planes=int(row["planes"]),
+        cell_id=int(row["cell_id"]), tile=encode_block(big),
+        **aux_blobs(big),
+    )

@@ -239,6 +239,26 @@ def q_fmax_r2(spark, sf_dir):
     return _focal_r_rows(spark, sf_dir, "fmax", "fmax2", radius=2)
 
 
+def q_upsample_nearest(spark, sf_dir):
+    # 2x nearest upsample (reference future work README.md:164);
+    # output coords live on the doubled grid
+    from .gridq import GRID_TILE
+    from .operators import pyramid as P
+
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    up = P.upsample2(tr, "nearest")
+    return tiles_to_rows(up, "uval", tile_pitch=2 * GRID_TILE)
+
+
+def q_upsample_bilinear(spark, sf_dir):
+    from .gridq import GRID_TILE
+    from .operators import pyramid as P
+
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    up = P.upsample2(tr, "bilinear")
+    return _r6(tiles_to_rows(up, "uval", tile_pitch=2 * GRID_TILE), "uval")
+
+
 def q_frank(spark, sf_dir):
     # GaCM Focal Ranking (omitted by the reference, README.md:129-130)
     return _focal_rows(spark, sf_dir, "frank", "frk")
@@ -583,6 +603,37 @@ SELECT c.gy, c.gx, max(n.val) AS fmax2
 {_JOIN_INNER}
 GROUP BY c.gy, c.gx
 """
+_PARS = (
+    "pars AS (SELECT a.range AS py, b.range AS px "
+    "FROM range(0,2) a CROSS JOIN range(0,2) b)"
+)
+ORACLE["upsample_nearest_grid"] = f"""
+WITH {GRID_CTE}, {_PARS}
+SELECT CAST(g.gy*2 + p.py AS INT) AS gy, CAST(g.gx*2 + p.px AS INT) AS gx,
+       g.val AS uval
+FROM grid g CROSS JOIN pars p
+"""
+ORACLE["upsample_bilinear_grid"] = f"""
+WITH {GRID_CTE}, {_PARS},
+offs01 AS (SELECT a.range AS dy, b.range AS dx
+           FROM range(0,2) a CROSS JOIN range(0,2) b),
+coords AS (SELECT g.gy, g.gx, o.dy, o.dx,
+  CAST(least(g.gy+o.dy, d.g-1) AS INT) AS cy,
+  CAST(least(g.gx+o.dx, d.g-1) AS INT) AS cx
+  FROM grid g CROSS JOIN offs01 o CROSS JOIN dims d),
+nb AS (SELECT c.gy, c.gx,
+  max(CASE WHEN c.dy=0 AND c.dx=0 THEN n.val END) AS v00,
+  max(CASE WHEN c.dy=0 AND c.dx=1 THEN n.val END) AS v01,
+  max(CASE WHEN c.dy=1 AND c.dx=0 THEN n.val END) AS v10,
+  max(CASE WHEN c.dy=1 AND c.dx=1 THEN n.val END) AS v11
+  FROM coords c JOIN grid n ON n.gy=c.cy AND n.gx=c.cx GROUP BY c.gy, c.gx)
+SELECT CAST(nb.gy*2 + p.py AS INT) AS gy, CAST(nb.gx*2 + p.px AS INT) AS gx,
+  round(CASE WHEN p.py=0 AND p.px=0 THEN v00
+             WHEN p.py=0 THEN (v00+v01)/2.0
+             WHEN p.px=0 THEN (v00+v10)/2.0
+             ELSE (v00+v01+v10+v11)/4.0 END, 6) AS uval
+FROM nb CROSS JOIN pars p
+"""
 ORACLE["frank_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_MIRROR},
 nbr AS (SELECT c.gy, c.gx, n.val AS v {_JOIN_INNER})
@@ -804,6 +855,8 @@ QUERIES = {
     "fsum_r2_grid": q_fsum_r2,
     "fmean_r2_grid": q_fmean_r2,
     "fmax_r2_grid": q_fmax_r2,
+    "upsample_nearest_grid": q_upsample_nearest,
+    "upsample_bilinear_grid": q_upsample_bilinear,
     "fvolume_grid": q_fvolume,
     "fgradient_grid": q_fgradient,
     "faspect_grid": q_faspect,

@@ -48,3 +48,48 @@ def test_pyramid_feeds_focal(spark):
     got = FO.fmean(lvl1).collect_array("r")
     ref = K.k_fmean(K.pad_block(np_shrink2(arr), K.BORDER_FILL, 0))
     np.testing.assert_allclose(got, ref)
+
+
+# --- upsampling (reference future work, README.md:164) ----------------------
+
+
+@pytest.mark.parametrize("shape,tile", [((32, 32), 8), ((21, 13), 8), ((7, 5), 4)])
+def test_upsample2_nearest_matches_oracle(spark, shape, tile):
+    rng = np.random.default_rng(3)
+    arr = rng.uniform(0, 100, shape)
+    tr = TileRaster.from_arrays(spark, {"r": arr}, tile_size=tile)
+    out = P.upsample2(tr, "nearest").collect_array("r")
+    np.testing.assert_allclose(out, P.upsample2_nearest_np(arr))
+
+
+@pytest.mark.parametrize("shape,tile", [((32, 32), 8), ((21, 13), 8), ((7, 5), 4)])
+def test_upsample2_bilinear_matches_oracle(spark, shape, tile):
+    """Interpolation across tile boundaries must use true neighbours
+    (halo), not per-tile clamps."""
+    rng = np.random.default_rng(4)
+    arr = rng.uniform(0, 100, shape)
+    tr = TileRaster.from_arrays(spark, {"r": arr}, tile_size=tile)
+    out = P.upsample2(tr, "bilinear").collect_array("r")
+    np.testing.assert_allclose(out, P.upsample2_bilinear_np(arr))
+
+
+def test_upsample_keeps_tiles_focal_ready(spark):
+    from mapalgebra_spark import kernels as K
+    from mapalgebra_spark.operators import focal as FO
+
+    rng = np.random.default_rng(5)
+    arr = rng.uniform(0, 100, (12, 12))
+    tr = TileRaster.from_arrays(spark, {"r": arr}, tile_size=4)
+    up = P.upsample2(tr, "bilinear").strict(persist=True)
+    got = FO.focal(up, "fmean").collect_array("r")
+    full = P.upsample2_bilinear_np(arr)
+    ref = K.k_fmean(K.pad_block(full, K.BORDER_FILL, 0))
+    np.testing.assert_allclose(got, ref)
+
+
+def test_upsample_then_downsample_identity_nearest(spark):
+    rng = np.random.default_rng(6)
+    arr = rng.uniform(0, 100, (16, 16))
+    tr = TileRaster.from_arrays(spark, {"r": arr}, tile_size=8)
+    round_trip = P.downsample2(P.upsample2(tr, "nearest"), 8).collect_array("r")
+    np.testing.assert_allclose(round_trip, arr)
