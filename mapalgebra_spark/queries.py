@@ -362,6 +362,20 @@ def q_pip(spark, sf_dir):
     return SP.point_in_polygon_join(pts, polys, level=7)
 
 
+def q_reproject(spark, sf_dir):
+    """LatLng → WebMercator over the customer point table — the
+    reference's pending Projection instances (MapAlgebra.hs:350-361),
+    as one JVM-side projection stage."""
+    from . import projections as PJ
+
+    pts = _customer_points(spark, sf_dir)
+    df = pts.select("point_id", F.col("lng").alias("x"), F.col("lat").alias("y"))
+    out = PJ.reproject_points(df, PJ.LATLNG, PJ.WEBMERCATOR, out_x="mx", out_y="my")
+    return out.select(
+        "point_id", F.round("mx", 6).alias("mx"), F.round("my", 6).alias("my")
+    )
+
+
 # --- documents / training-data ops ---------------------------------------------
 
 
@@ -764,6 +778,14 @@ SELECT query_id, point_id, rank FROM (
 ORACLE["knn_exact"] = _knn_sql
 ORACLE["knn_cells"] = _knn_sql
 
+ORACLE["reproject_points"] = f"""
+WITH {_POINTS_SQL.strip()}
+SELECT point_id,
+       round(6378137.0 * radians(lng), 6) AS mx,
+       round(6378137.0 * ln(tan(pi()/4.0 + radians(lat)/2.0)), 6) AS my
+FROM points
+"""
+
 ORACLE["pip_rect"] = f"""
 WITH {_POINTS_SQL.strip()},
 rects AS (
@@ -867,6 +889,7 @@ QUERIES = {
     "knn_exact": q_knn,
     "knn_cells": q_knn_cells,
     "pip_rect": q_pip,
+    "reproject_points": q_reproject,
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "doc_quality": q_doc_quality,
