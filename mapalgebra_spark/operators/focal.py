@@ -406,6 +406,48 @@ def fupstream(tr):  # MapAlgebra.hs:1253-1263; caller must strict() the
     return focal(tr, "fupstream")
 
 
+def _valid_mask(a: np.ndarray, nodata) -> np.ndarray:
+    if isinstance(nodata, float) and np.isnan(nodata):
+        return ~np.isnan(a)
+    return a != nodata
+
+
+def fsum_nodata(tr: TileRaster, nodata=0.0) -> TileRaster:
+    """NoData-aware focal sum — the engine form of the reference's
+    README.md:141-152 ``nodatafsum`` idiom (``fmap check`` 0→Nothing,
+    ``fmonoid`` over Maybe(Sum) with Fill-mempty border, then
+    ``maybe 0 getSum``): 3x3 sum over cells ≠ ``nodata`` (NaN
+    supported), 0 where the whole window is nodata.  Border Fill
+    nodata, so cells past the raster edge contribute nothing."""
+
+    def kernel(p):
+        acc = np.zeros((p.shape[0] - 2, p.shape[1] - 2), dtype=np.float64)
+        for s in K.shifts(p):
+            acc += np.where(_valid_mask(s, nodata), s, 0.0)
+        return acc
+
+    return focal(tr, FocalSpec("fsum_nodata", kernel, K.BORDER_FILL, nodata, cast="float64"))
+
+
+def fmean_nodata(tr: TileRaster, nodata=0.0) -> TileRaster:
+    """NoData-aware focal mean: mean over the valid (≠ nodata) cells of
+    the 3x3 window; NaN (the engine's Nothing) where no cell is valid.
+    Extension of the README.md:141-152 NoData pattern."""
+
+    def kernel(p):
+        shape = (p.shape[0] - 2, p.shape[1] - 2)
+        tot = np.zeros(shape, dtype=np.float64)
+        cnt = np.zeros(shape, dtype=np.float64)
+        for s in K.shifts(p):
+            v = _valid_mask(s, nodata)
+            tot += np.where(v, s, 0.0)
+            cnt += v
+        with np.errstate(invalid="ignore", divide="ignore"):
+            return np.where(cnt > 0, tot / np.maximum(cnt, 1.0), np.nan)
+
+    return focal(tr, FocalSpec("fmean_nodata", kernel, K.BORDER_FILL, nodata, cast="float64"))
+
+
 def fmonoid(tr, combine: Callable, fill_value) -> TileRaster:
     """fmonoid (MapAlgebra.hs:789-791): user-pluggable 3x3 fold with the
     focus left-most and Fill mempty border — the engine's focal

@@ -239,6 +239,22 @@ def q_fmax_r2(spark, sf_dir):
     return _focal_r_rows(spark, sf_dir, "fmax", "fmax2", radius=2)
 
 
+def q_fsum_nodata(spark, sf_dir):
+    # README.md:141-152 nodatafsum pattern: ival==0 cells are NoData
+    from .operators.focal import fsum_nodata
+
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    return tiles_to_rows(fsum_nodata(tr, nodata=0.0), "fsumnd")
+
+
+def q_fmean_nodata(spark, sf_dir):
+    from .operators.focal import fmean_nodata
+
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    rows = tiles_to_rows(fmean_nodata(tr, nodata=0.0), "fmeannd", nan_to_null=True)
+    return _r6(rows, "fmeannd")
+
+
 def q_upsample_nearest(spark, sf_dir):
     # 2x nearest upsample (reference future work README.md:164);
     # output coords live on the doubled grid
@@ -617,6 +633,27 @@ SELECT c.gy, c.gx, max(n.val) AS fmax2
 {_JOIN_INNER}
 GROUP BY c.gy, c.gx
 """
+ORACLE["fsum_nodata_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_FILL}
+SELECT c.gy, c.gx,
+  CAST(sum(CASE WHEN n.ival IS NOT NULL AND n.ival <> 0 THEN n.ival ELSE 0 END)
+       AS DOUBLE) AS fsumnd
+{_JOIN_LEFT}
+GROUP BY c.gy, c.gx
+"""
+ORACLE["fmean_nodata_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_FILL},
+agg AS (
+  SELECT c.gy, c.gx,
+    sum(CASE WHEN n.ival IS NOT NULL AND n.ival <> 0 THEN n.ival ELSE 0 END) AS s,
+    sum(CASE WHEN n.ival IS NOT NULL AND n.ival <> 0 THEN 1 ELSE 0 END) AS cnt
+  {_JOIN_LEFT}
+  GROUP BY c.gy, c.gx
+)
+SELECT gy, gx,
+  CASE WHEN cnt = 0 THEN NULL ELSE round(CAST(s AS DOUBLE)/cnt, 6) END AS fmeannd
+FROM agg
+"""
 _PARS = (
     "pars AS (SELECT a.range AS py, b.range AS px "
     "FROM range(0,2) a CROSS JOIN range(0,2) b)"
@@ -879,6 +916,8 @@ QUERIES = {
     "fmax_r2_grid": q_fmax_r2,
     "upsample_nearest_grid": q_upsample_nearest,
     "upsample_bilinear_grid": q_upsample_bilinear,
+    "fsum_nodata_grid": q_fsum_nodata,
+    "fmean_nodata_grid": q_fmean_nodata,
     "fvolume_grid": q_fvolume,
     "fgradient_grid": q_fgradient,
     "faspect_grid": q_faspect,

@@ -147,3 +147,45 @@ def test_constant_and_sum_golden(spark):
     assert got.size == 65536 and int(got.sum()) == 327680
     two = (tr + tr).collect_array("r0")
     assert int(two.sum()) == 655360
+
+
+def test_fsum_nodata_readme_pattern(spark):
+    """README.md:141-152 nodatafsum: 0-valued cells contribute nothing;
+    all-nodata windows yield 0; raster edge pads with nodata."""
+    arr = INTS.astype(np.float64)
+    tr = make_tr(spark, arr, 7)
+    got = FO.fsum_nodata(tr, nodata=0.0).collect_array("r0")
+    padded = np.pad(arr, 1, mode="constant", constant_values=0.0)
+    ref = np.zeros(arr.shape)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = padded[1 + dy : 1 + dy + arr.shape[0], 1 + dx : 1 + dx + arr.shape[1]]
+            ref += np.where(s != 0.0, s, 0.0)
+    np.testing.assert_allclose(got, ref)
+    # an all-zero patch must produce exact 0 (Maybe mempty), not garbage
+    hole = np.ones((9, 9))
+    hole[2:7, 2:7] = 0.0
+    trh = make_tr(spark, hole, 4, rid="hole")
+    goth = FO.fsum_nodata(trh, nodata=0.0).collect_array("hole")
+    assert goth[4, 4] == 0.0
+
+
+def test_fmean_nodata_nan_sentinel(spark):
+    """NaN-as-nodata: mean over valid cells only; NaN where none."""
+    arr = TERRAIN.copy()
+    arr[3:6, 4:9] = np.nan
+    tr = make_tr(spark, arr, 7)
+    got = FO.fmean_nodata(tr, nodata=np.nan).collect_array("r0")
+    padded = np.pad(arr, 1, mode="constant", constant_values=np.nan)
+    tot = np.zeros(arr.shape)
+    cnt = np.zeros(arr.shape)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = padded[1 + dy : 1 + dy + arr.shape[0], 1 + dx : 1 + dx + arr.shape[1]]
+            v = ~np.isnan(s)
+            tot += np.where(v, s, 0.0)
+            cnt += v
+    with np.errstate(invalid="ignore"):
+        ref = np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
+    np.testing.assert_allclose(got, ref, equal_nan=True)
+    assert np.isnan(got[4, 6])  # interior of the NaN hole
