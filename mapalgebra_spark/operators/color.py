@@ -90,6 +90,122 @@ def histogram(tr: TileRaster, band: int | None = None) -> DataFrame:
     )
 
 
+def histogram_values(tr: TileRaster, band: int | None = None) -> DataFrame:
+    """Exact value histogram for ANY integer dtype (incl. negative
+    values) — the reference's histogram "currently supports Word8 only"
+    (README.md:100, MapAlgebra.hs:1296-1305); this is the
+    more-data-types future-work item.  Per-tile ``np.unique`` partials
+    (≤ tile-cells rows each) → one groupBy sum; shuffle volume is the
+    per-tile distinct count, not the pixel count."""
+    import pandas as pd
+
+    src = tr.strict().df
+    if band is not None:
+        src = src.filter(F.col("band") == band)
+
+    schema = T.StructType(
+        [T.StructField("value", T.LongType()), T.StructField("cnt", T.LongType())]
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            acc: dict = {}
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                block = decode_block(
+                    row["tile"], row["dtype"], int(row["h"]), int(row["w"]), int(row["planes"])
+                )
+                if not np.issubdtype(block.dtype, np.integer):
+                    raise ValueError("histogram_values needs an integer raster; "
+                                     "use histogram_binned for floats")
+                vals, cnts = np.unique(block, return_counts=True)
+                for v, c in zip(vals.tolist(), cnts.tolist()):
+                    acc[v] = acc.get(v, 0) + c
+            yield pd.DataFrame(
+                {"value": list(acc.keys()), "cnt": list(acc.values())},
+                dtype=np.int64,
+            )
+
+    return (
+        src.mapInPandas(partial, schema).groupBy("value").agg(F.sum("cnt").alias("count"))
+    )
+
+
+def histogram_binned(
+    tr: TileRaster, bins: int, lo: float, hi: float, band: int | None = None
+) -> DataFrame:
+    """Fixed-width binned histogram for float rasters: bin i covers
+    [lo + i*w, lo + (i+1)*w); out-of-range values clamp to the edge
+    bins.  Per-tile bincount partials → one groupBy sum."""
+    import pandas as pd
+
+    if not (bins >= 1 and hi > lo):
+        raise ValueError("need bins >= 1 and hi > lo")
+    width = (hi - lo) / bins
+    src = tr.strict().df
+    if band is not None:
+        src = src.filter(F.col("band") == band)
+
+    schema = T.StructType(
+        [T.StructField("bin", T.IntegerType()), T.StructField("cnt", T.LongType())]
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            acc = np.zeros(bins, dtype=np.int64)
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                block = decode_block(
+                    row["tile"], row["dtype"], int(row["h"]), int(row["w"]), int(row["planes"])
+                ).astype(np.float64)
+                idx = np.clip(
+                    np.floor((block - lo) / width).astype(np.int64), 0, bins - 1
+                )
+                acc += np.bincount(idx.ravel(), minlength=bins)
+            yield pd.DataFrame({"bin": np.arange(bins, dtype=np.int32), "cnt": acc})
+
+    out = src.mapInPandas(partial, schema).groupBy("bin").agg(F.sum("cnt").alias("count"))
+    return out.select(
+        "bin",
+        (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+        (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
+        "count",
+    )
+
+
+def value_range(tr: TileRaster, band: int | None = None) -> tuple[float, float]:
+    """Global (min, max) over a raster collection — one narrow pass of
+    per-tile partials, for choosing histogram_binned bounds."""
+    import pandas as pd
+
+    src = tr.strict().df
+    if band is not None:
+        src = src.filter(F.col("band") == band)
+
+    schema = T.StructType(
+        [T.StructField("mn", T.DoubleType()), T.StructField("mx", T.DoubleType())]
+    )
+
+    def partial(batches):
+        mn, mx = np.inf, -np.inf
+        for pdf in batches:
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                block = decode_block(
+                    row["tile"], row["dtype"], int(row["h"]), int(row["w"]), int(row["planes"])
+                )
+                mn = min(mn, float(block.min()))
+                mx = max(mx, float(block.max()))
+        yield pd.DataFrame({"mn": [mn], "mx": [mx]})
+
+    row = (
+        src.mapInPandas(partial, schema)
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
+        .first()
+    )
+    return float(row["mn"]), float(row["mx"])
+
+
 def histogram_vector(tr: TileRaster, band: int | None = None) -> np.ndarray:
     """Collect the histogram to a 256-vector on the driver (for breaks)."""
     rows = histogram(tr, band).collect()

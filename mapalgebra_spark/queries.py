@@ -166,6 +166,30 @@ def q_histogram(spark, sf_dir):
     return CO.histogram(tr).withColumnRenamed("count", "n").filter(F.col("n") > 0)
 
 
+def q_histogram_int(spark, sf_dir):
+    # exact any-integer-dtype histogram (reference is Word8-only,
+    # README.md:100) — negative values via ival - 2
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    shifted = tr.map(lambda a: a - 2).strict()
+    return (
+        CO.histogram_values(shifted)
+        .withColumnRenamed("count", "n")
+        .filter(F.col("n") > 0)
+    )
+
+
+def q_histogram_float(spark, sf_dir):
+    # fixed-width binned float histogram (16 bins over [0, 64))
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    out = CO.histogram_binned(tr, bins=16, lo=0.0, hi=64.0)
+    return out.select(
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        F.col("count").alias("n"),
+    ).filter(F.col("n") > 0)
+
+
 def q_zonal(spark, sf_dir):
     g, G = grid_df(spark, sf_dir)
     v = grid_to_tiles(g, G, "val", "float64", "a")
@@ -530,6 +554,19 @@ FROM grid
 ORACLE["histogram_grid"] = f"""
 WITH {GRID_CTE}
 SELECT CAST(ival AS INT) AS value, count(*) AS n FROM grid GROUP BY 1
+"""
+ORACLE["histogram_int_grid"] = f"""
+WITH {GRID_CTE}
+SELECT CAST(ival - 2 AS BIGINT) AS value, count(*) AS n FROM grid GROUP BY 1
+"""
+ORACLE["histogram_float_grid"] = f"""
+WITH {GRID_CTE},
+binned AS (
+  SELECT CAST(least(greatest(floor(val/4.0), 0), 15) AS INT) AS bin FROM grid
+)
+SELECT bin, round(bin*4.0, 6) AS bin_lo, round((bin+1)*4.0, 6) AS bin_hi,
+       count(*) AS n
+FROM binned GROUP BY bin
 """
 ORACLE["zonal_grid"] = f"""
 WITH {GRID_CTE}
@@ -918,6 +955,8 @@ QUERIES = {
     "upsample_bilinear_grid": q_upsample_bilinear,
     "fsum_nodata_grid": q_fsum_nodata,
     "fmean_nodata_grid": q_fmean_nodata,
+    "histogram_int_grid": q_histogram_int,
+    "histogram_float_grid": q_histogram_float,
     "fvolume_grid": q_fvolume,
     "fgradient_grid": q_fgradient,
     "faspect_grid": q_faspect,

@@ -189,3 +189,26 @@ def test_fmean_nodata_nan_sentinel(spark):
         ref = np.where(cnt > 0, tot / np.maximum(cnt, 1), np.nan)
     np.testing.assert_allclose(got, ref, equal_nan=True)
     assert np.isnan(got[4, 6])  # interior of the NaN hole
+
+
+def test_histogram_any_dtype(spark):
+    """Generalized histograms (reference is Word8-only, README.md:100)."""
+    from mapalgebra_spark.operators import color as CO
+
+    arr = (INTS - 2).astype(np.int64)  # negative values
+    tr = make_tr(spark, arr, 7)
+    got = {int(r["value"]): int(r["count"]) for r in CO.histogram_values(tr).collect()}
+    vals, cnts = np.unique(arr, return_counts=True)
+    assert got == {int(v): int(c) for v, c in zip(vals, cnts)}
+
+    f = TERRAIN  # floats ~N(100, 10)
+    trf = make_tr(spark, f, 7)
+    lo, hi = CO.value_range(trf)
+    assert lo == f.min() and hi == f.max()
+    out = {int(r["bin"]): int(r["count"]) for r in CO.histogram_binned(trf, 8, lo, hi + 1e-9).collect()}
+    idx = np.clip(np.floor((f - lo) / ((hi + 1e-9 - lo) / 8)).astype(int), 0, 7)
+    ref = np.bincount(idx.ravel(), minlength=8)
+    assert [out.get(i, 0) for i in range(8)] == ref.tolist()
+
+    with pytest.raises(Exception, match="integer raster"):
+        CO.histogram_values(trf).collect()
