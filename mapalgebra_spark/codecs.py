@@ -1,13 +1,15 @@
 """Image codecs, from scratch on the stdlib (no Pillow in the sandbox).
 
-Formats supported (all lossless; BASELINE.json input_hint allows lossy
-only behind a PSNR>=40 gate, which we don't need):
+Formats supported:
 
 - ``raw``  — C-order bytes of a (h, w) or (h, w, 4) uint8 array.
 - ``npy``  — numpy .npy container (any dtype/shape).
 - ``png``  — 8-bit grayscale (colour type 0) or RGBA (colour type 6),
              zlib/DEFLATE, scanline filters 0-4 supported on read,
              filter 0 written.
+- ``qdct`` — LOSSY: JPEG-style 8x8 DCT quantization + zlib, gated at
+             PSNR >= 40 dB per BASELINE.json input_hint (tested in
+             tests/test_codecs_cellindex.py).
 
 The reference reads TIFF/PNG via massiv-io (``fromRGBA``/``fromGray``,
 MapAlgebra.hs:544-591) and encodes PNG (``png``, MapAlgebra.hs:671-673);
@@ -141,6 +143,8 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return npy_encode(arr)
     if fmt == "png":
         return png_encode(arr)
+    if fmt == "qdct":
+        return qdct_encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -161,7 +165,100 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return npy_decode(data)
     if fmt == "png":
         return png_decode(data)
+    if fmt == "qdct":
+        return qdct_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# qdct — a from-scratch lossy format (JPEG-style 8x8 DCT quantization,
+# zlib entropy stage), satisfying the input_hint's lossy clause: decoded
+# pixels must pass the PSNR >= 40 dB gate vs the original (tested).
+# No chroma subsampling; each channel coded independently.
+# ---------------------------------------------------------------------------
+
+QDCT_MAGIC = b"QDCT"
+
+#: the standard JPEG luminance quantization table (Annex K, ITU T.81)
+_JPEG_Q = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix."""
+    k = np.arange(8)[:, None]
+    n = np.arange(8)[None, :]
+    d = np.cos(np.pi * (2 * n + 1) * k / 16.0) * np.sqrt(2.0 / 8.0)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+_DCT = _dct_matrix()
+
+
+def _to_blocks(ch: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """(h, w) float → (nby, nbx, 8, 8) with edge-replicated padding."""
+    h, w = ch.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    if ph or pw:
+        ch = np.pad(ch, ((0, ph), (0, pw)), mode="edge")
+    H, W = ch.shape
+    return (
+        ch.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).copy(),
+        H // 8,
+        W // 8,
+    )
+
+
+def qdct_encode(arr: np.ndarray, scale: float = 0.1) -> bytes:
+    """Encode uint8 gray (h,w) or multichannel (h,w,c) lossily.
+
+    ``scale`` multiplies the JPEG base table.  The default 0.1 keeps the
+    worst case above the input_hint gate: quantization MSE is ~
+    mean(Q^2)/12 * scale^2, so even spectrally-flat uniform noise decodes
+    at ~42 dB PSNR (tested); natural-statistics images land far higher."""
+    a = np.asarray(arr)
+    if a.dtype != np.uint8:
+        raise ValueError("qdct: uint8 input only")
+    chans = a[..., None] if a.ndim == 2 else a
+    h, w, c = chans.shape
+    q = _JPEG_Q * scale
+    coefs = []
+    for ci in range(c):
+        blocks, nby, nbx = _to_blocks(chans[..., ci].astype(np.float64) - 128.0)
+        coef = np.einsum("ij,abjk,kl->abil", _DCT, blocks, _DCT.T)
+        coefs.append(np.round(coef / q).astype(np.int16))
+    payload = zlib.compress(np.stack(coefs).tobytes(), 6)
+    header = QDCT_MAGIC + struct.pack(">IIBd", h, w, c, scale)
+    return header + payload
+
+
+def qdct_decode(data: bytes) -> np.ndarray:
+    if data[:4] != QDCT_MAGIC:
+        raise ValueError("qdct: bad magic")
+    h, w, c, scale = struct.unpack(">IIBd", data[4 : 4 + 17])
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    q = _JPEG_Q * scale
+    raw = zlib.decompress(data[4 + 17 :])
+    coefs = np.frombuffer(raw, dtype=np.int16).reshape(c, nby, nbx, 8, 8)
+    out = np.empty((h, w, c), dtype=np.uint8)
+    for ci in range(c):
+        coef = coefs[ci].astype(np.float64) * q
+        blocks = np.einsum("ij,abjk,kl->abil", _DCT.T, coef, _DCT)
+        full = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        out[..., ci] = np.clip(np.round(full[:h, :w] + 128.0), 0, 255).astype(np.uint8)
+    return out[..., 0] if c == 1 else out
 
 
 def phash64(arr: np.ndarray) -> int:

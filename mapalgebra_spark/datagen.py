@@ -71,9 +71,10 @@ def render_pixels(i: int, w: int, h: int, rgba: bool) -> np.ndarray:
     return out
 
 
-def image_row(i: int) -> dict:
+def image_row(i: int, fmts: list[str] | None = None) -> dict:
+    fmts = fmts or FMTS
     w, h = SIZES[i % len(SIZES)]
-    fmt = FMTS[(i // len(SIZES)) % len(FMTS)]
+    fmt = fmts[(i // len(SIZES)) % len(fmts)]
     rgba = i % 7 == 3  # a minority of RGBA images
     pix = render_pixels(i, w, h, rgba)
     return dict(
@@ -101,12 +102,17 @@ def synthetic_latlng(image_id: str, hot_fraction: float = 0.0) -> tuple[float, f
     return u1 * 170.0 - 85.0, u2 * 360.0 - 180.0
 
 
-def generate_images_df(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
-    """Distributed generation of n images."""
+def generate_images_df(
+    spark: SparkSession, n: int, num_partitions: int | None = None,
+    fmts: list[str] | None = None,
+) -> DataFrame:
+    """Distributed generation of n images.  ``fmts`` may include the
+    lossy ``qdct`` format (PSNR >= 40 gate, codecs.py); the default mix
+    stays lossless so decoded pixels reproduce exactly."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [image_row(int(i)) for i in pdf["id"]]
+            rows = [image_row(int(i), fmts) for i in pdf["id"]]
             yield pd.DataFrame(rows)
 
     parts = num_partitions or max(1, min(n, 64))

@@ -143,3 +143,54 @@ def test_cover_polygon():
     # every full cell center must be inside
     clat, clng = CI.cell_center(full)
     assert CI.point_in_polygon(clat, clng, ring_lat, ring_lng).all()
+
+
+# --- qdct lossy codec: the input_hint PSNR >= 40 dB gate ---------------------
+
+
+def test_qdct_roundtrip_psnr_gate_terrain():
+    from mapalgebra_spark.datagen import render_pixels
+
+    for i, (w, h) in ((0, (256, 256)), (1, (300, 200)), (2, (97, 61))):
+        pix = render_pixels(i, w, h, rgba=False)
+        dec = CC.qdct_decode(CC.qdct_encode(pix))
+        assert dec.shape == pix.shape and dec.dtype == np.uint8
+        p = CC.psnr(pix, dec)
+        assert p >= 40.0, (i, p)
+
+
+def test_qdct_rgba_and_noise():
+    from mapalgebra_spark.datagen import render_pixels
+
+    pix = render_pixels(3, 128, 96, rgba=True)
+    dec = CC.qdct_decode(CC.qdct_encode(pix))
+    assert dec.shape == pix.shape
+    assert CC.psnr(pix, dec) >= 40.0
+    # worst case for DCT coding: pure uniform noise must still pass the
+    # gate at the default scale
+    rng = np.random.default_rng(9)
+    noise = rng.integers(0, 256, size=(64, 64)).astype(np.uint8)
+    dn = CC.qdct_decode(CC.qdct_encode(noise))
+    assert CC.psnr(noise, dn) >= 40.0
+
+
+def test_qdct_deterministic_and_smaller_than_raw():
+    from mapalgebra_spark.datagen import render_pixels
+
+    pix = render_pixels(5, 256, 256, rgba=False)
+    b1, b2 = CC.qdct_encode(pix), CC.qdct_encode(pix)
+    assert b1 == b2
+    assert len(b1) < pix.nbytes // 2  # actually compresses
+    with pytest.raises(ValueError, match="magic"):
+        CC.qdct_decode(b"JUNK" + b1[4:])
+    with pytest.raises(ValueError, match="uint8"):
+        CC.qdct_encode(pix.astype(np.float64))
+
+
+def test_qdct_via_encode_decode_image():
+    from mapalgebra_spark.datagen import render_pixels
+
+    pix = render_pixels(6, 80, 50, rgba=False)
+    data = CC.encode_image(pix, "qdct")
+    dec = CC.decode_image(data, "qdct", 80, 50)
+    assert CC.psnr(pix, dec) >= 40.0

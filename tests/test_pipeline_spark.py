@@ -212,3 +212,31 @@ def test_band_algebra_over_rgba_image(spark):
     pix = datagen.render_pixels(3, 256, 256, True).astype(np.float64)  # SIZES[3 % 3]
     ref = (pix[..., 0] - pix[..., 1]) / (pix[..., 0] + pix[..., 1] + 1e-9)
     np.testing.assert_allclose(got, ref)
+
+
+def test_lossy_qdct_pipeline_psnr_gate(spark):
+    """input_hint's lossy clause end-to-end: a qdct-format image table
+    decodes through the real ingest stage with per-row PSNR >= 40 dB vs
+    the generator pixels, caption preserved, and the tile pipeline
+    (focal fmean) runs over the decoded tiles."""
+    from mapalgebra_spark.tiles import assemble_from_tiles
+
+    images = datagen.generate_images_df(spark, 6, fmts=["qdct"])
+    rows = images.collect()
+    for row in rows:
+        i = int(row["image_id"][3:])
+        rgba = i % 7 == 3
+        ref = datagen.render_pixels(i, row["w"], row["h"], rgba)
+        dec = codecs.decode_image(row["bytes"], row["fmt"], row["w"], row["h"])
+        assert codecs.psnr(ref, dec) >= 40.0
+        assert row["caption"] == f"synthetic terrain {i} seed42"
+    tr = ingest.tiles_from_images(images, tile_size=256)
+    rid = rows[0]["image_id"]
+    i0 = int(rid[3:])
+    ref0 = datagen.render_pixels(i0, rows[0]["w"], rows[0]["h"], i0 % 7 == 3)
+    if ref0.ndim == 3:
+        ref0 = ref0[..., 0]
+    got0 = tr.strict().collect_array(rid, band=0)
+    assert codecs.psnr(ref0, got0) >= 40.0
+    out = FO.focal(tr, "fmean")
+    assert out.df.count() == tr.strict().df.count()
