@@ -128,7 +128,7 @@ def plane_ab_raw(p: np.ndarray):
     terms; avoids materializing 9 facet planes — ~3x faster).  The SQL
     oracles use the same collected form so results stay bit-identical.
     """
-    nw, no, ne, we, _, ea, sw, so, se = shifts(p.astype(np.float64))
+    nw, no, ne, we, _, ea, sw, so, se = shifts(np.asarray(p, dtype=np.float64))
     a = ((sw + se - nw - ne) + 4.0 * (so - no)) / 12.0
     b = ((ne + se - nw - sw) + 4.0 * (ea - we)) / 12.0
     return a, b
@@ -171,9 +171,9 @@ def k_aspect_unsafe(p: np.ndarray) -> np.ndarray:
 def k_fsum(p: np.ndarray) -> np.ndarray:
     """Focal sum, border Fill 0 (MA:775-777)."""
     ss = shifts(p)
-    out = ss[0].copy()
+    out = ss[0].copy()  # owned buffer; the shifts are views of p
     for s in ss[1:]:
-        out = out + s
+        out += s
     return out
 
 
@@ -188,24 +188,26 @@ def k_fproduct(p: np.ndarray) -> np.ndarray:
 
 def k_fmean(p: np.ndarray) -> np.ndarray:
     """Focal mean, border Fill 0 (MA:794-796)."""
-    return k_fsum(p.astype(np.float64)) / 9.0
+    out = k_fsum(np.asarray(p, dtype=np.float64))
+    out /= 9.0
+    return out
 
 
 def k_fmax(p: np.ndarray) -> np.ndarray:
     """Focal max, border Edge (MA:799-801)."""
     ss = shifts(p)
-    out = ss[0]
+    out = ss[0].copy()
     for s in ss[1:]:
-        out = np.maximum(out, s)
+        np.maximum(out, s, out=out)
     return out
 
 
 def k_fmin(p: np.ndarray) -> np.ndarray:
     """Focal min, border Edge (MA:804-806)."""
     ss = shifts(p)
-    out = ss[0]
+    out = ss[0].copy()
     for s in ss[1:]:
-        out = np.minimum(out, s)
+        np.minimum(out, s, out=out)
     return out
 
 
