@@ -486,6 +486,16 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard(spark, sf_dir):
+    # rows-only: exact 3-gram Jaccard over LSH candidates (shingle
+    # hashing not reasonably SQL); verified vs local sets in tests
+    from .textops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.2
+    )
+
+
 def q_simhash(spark, sf_dir):
     from .textops import simhash_df
 
@@ -975,6 +985,7 @@ QUERIES = {
     "cosine_topk": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "minhash_pairs": q_minhash_pairs,  # rows-only
+    "ngram_jaccard": q_ngram_jaccard,  # rows-only
     "simhash": q_simhash,  # rows-only
     "lang_id": q_lang_id,  # rows-only
     "fingerprint": q_fingerprint,  # rows-only

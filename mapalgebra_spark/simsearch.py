@@ -11,6 +11,14 @@ vec_id bigint, embedding array<float>, label int).
   exact cosine re-rank on the survivors.  Recall measured vs the exact
   baseline in tests; at 100 TB the bucket column is a partition/cluster
   key so a probe touches only matching partitions.
+- ``ivf_topk``         — the other classic scale path: spherical
+  k-means centroids trained on a driver-side seeded sample, points
+  assigned to their nearest-centroid inverted list (one narrow Arrow
+  stage, centroids closed over = broadcast), queries probe the
+  ``n_probe`` nearest lists and exact-rerank.  ``n_probe ==
+  n_centroids`` degrades to exact (used by the oracle pair); recall at
+  smaller probes measured in tests.  At 100 TB ``list_id`` is the
+  partition key, so a probe reads n_probe/n_centroids of the table.
 """
 
 from __future__ import annotations
@@ -109,6 +117,77 @@ def hyperplane_topk(
         F.explode(F.array(*[F.col("qbucket").bitwiseXOR(F.lit(m)) for m in masks])),
     )
     cand = F.broadcast(probes).join(p, on="bucket", how="inner").withColumn(
+        "cos", _cosine_col(F.col("embedding"), F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cos"))
+    )
+
+
+# --- IVF (inverted file over spherical k-means lists) -----------------------
+
+
+def _train_centroids(points: DataFrame, n_centroids: int, sample: int, iters: int, seed: int) -> np.ndarray:
+    """Spherical k-means on a deterministic driver-side sample.  At
+    100 TB swap the orderBy-limit for a seeded TABLESAMPLE; training
+    cost is O(sample * dim) either way and stays off the hot path."""
+    rows = (
+        points.select("vec_id", _as_double(F.col("embedding")).alias("e"))
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
+    X = np.stack([np.asarray(r["e"], dtype=np.float64) for r in rows])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(n_centroids):
+            members = X[assign == j]
+            if len(members):
+                C[j] = members.mean(axis=0)
+        C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    return C
+
+
+def _list_udf(C: np.ndarray, top: int):
+    """vec → its `top` nearest centroid ids (array<int>), Arrow-batched."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def lists(vecs: pd.Series) -> pd.Series:
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        sim = M @ C.T
+        idx = np.argsort(-sim, axis=1)[:, :top].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return lists
+
+
+def ivf_topk(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate cosine top-k (see module docstring)."""
+    C = _train_centroids(points, n_centroids, sample, iters, seed)
+    p = points.select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    ).withColumn("list_id", _list_udf(C, 1)(F.col("embedding"))[0])
+    q = queries.select(
+        "query_id", _as_double(F.col("qvec")).alias("qvec")
+    ).withColumn("probes", _list_udf(C, n_probe)(F.col("qvec")))
+    probes = q.select("query_id", "qvec", F.explode("probes").alias("list_id"))
+    cand = F.broadcast(probes).join(p, on="list_id", how="inner").withColumn(
         "cos", _cosine_col(F.col("embedding"), F.col("qvec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())

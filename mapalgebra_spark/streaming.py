@@ -13,6 +13,12 @@ The reference is batch-only; this layer makes the engine's pipelines
 - ``stream_event_stats`` — watermarked sliding-window aggregation over
   the ``events`` schema (late data handled by the watermark), the
   engine's built-in-operator streaming path.
+- ``running_tile_max`` — a CUSTOM stateful operator via
+  ``applyInPandasWithState``: per tile key, fold successive tile
+  versions with ``np.maximum`` across micro-batches (the streaming
+  analog of ``lmax`` over time — e.g. max-elevation / max-NDVI
+  composites over re-observed cells).  State = the running tile blob,
+  checkpoint-durable, so the composite survives restarts.
 """
 
 from __future__ import annotations
@@ -82,4 +88,91 @@ def stream_event_stats(
             "n",
             F.round("total", 6).alias("total"),
         )
+    )
+
+
+def running_tile_max(tiles_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per (raster_id, band, ty, tx)
+    key, the element-wise running max of every tile version seen so far
+    (MA ``lmax`` folded over arrival time).  Built on
+    ``applyInPandasWithState``; emits the updated composite for each key
+    touched by a micro-batch (output mode ``update``).  State is one
+    encoded tile per key — O(live keys), partitioned by Spark's state
+    store, resumable from the checkpoint."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "raster_id string, band int, ty int, tx int, h int, w int,"
+        " dtype string, n_merged long, tile binary"
+    )
+    state_schema = "h int, w int, dtype string, n_merged long, tile binary"
+
+    from .tiles import decode_block, encode_block
+
+    def fold(key, pdfs, state: "GroupState"):
+        acc = None
+        n = 0
+        if state.exists:
+            h, w, dt, n, blob = state.get
+            acc = decode_block(bytes(blob), dt, int(h), int(w), 1)
+        for pdf in pdfs:
+            for i in range(len(pdf)):
+                row = pdf.iloc[i]
+                blk = decode_block(
+                    row["tile"], row["dtype"], int(row["h"]), int(row["w"]), 1
+                )
+                acc = blk.copy() if acc is None else np.maximum(acc, blk)
+                n += 1
+        state.update((acc.shape[0], acc.shape[1], str(acc.dtype), n, encode_block(acc)))
+        yield pd.DataFrame(
+            [
+                dict(
+                    raster_id=key[0], band=int(key[1]), ty=int(key[2]), tx=int(key[3]),
+                    h=acc.shape[0], w=acc.shape[1], dtype=str(acc.dtype),
+                    n_merged=n, tile=encode_block(acc),
+                )
+            ]
+        )
+
+    return tiles_stream.groupBy("raster_id", "band", "ty", "tx").applyInPandasWithState(
+        fold, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_running_tile_max(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tile_size: int = 256,
+):
+    """readStream over an image directory → decode/tile → running-max
+    composite per tile key.  Updated composites land under
+    ``out_dir/batch=<id>/`` (overwrite-by-batch = idempotent replay);
+    the current composite for a key is its row with the highest batch
+    id.  Restart with the same checkpoint to keep folding onto durable
+    state.  Returns the started StreamingQuery."""
+    import os
+
+    from .ingest import tiles_from_images
+
+    stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(input_dir)
+    tiles = tiles_from_images(stream, tile_size=tile_size).df.select(
+        "raster_id", "band", "ty", "tx", "h", "w", "dtype", "tile"
+    )
+    updates = running_tile_max(tiles)
+
+    def sink(batch_df: DataFrame, batch_id: int):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+
+    return (
+        updates.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

@@ -72,3 +72,63 @@ def test_stream_event_stats_matches_batch(spark, tmp_path):
     assert got
     for k, v in got.items():
         assert exp[k] == v, k
+
+
+def test_running_tile_max_stateful_across_restarts(spark, tmp_path):
+    """applyInPandasWithState composite: two stream runs over one
+    checkpoint must fold new observations onto DURABLE state — final
+    tile == elementwise max of both image generations."""
+    from mapalgebra_spark import codecs
+    from mapalgebra_spark.tiles import decode_block
+
+    in_dir = tmp_path / "in"
+    ck = str(tmp_path / "ck")
+    in_dir.mkdir()
+
+    def write_generation(gen: int, shift: int):
+        rows = []
+        for i in range(3):
+            pix = datagen.render_pixels(i + shift, 128, 128, rgba=False)
+            rows.append(dict(
+                image_id=f"obs{i:04d}",  # SAME ids both generations
+                bytes=codecs.encode_image(pix, "raw"),
+                w=128, h=128, fmt="raw",
+                caption=f"gen {gen} obs {i}", phash=codecs.phash64(pix),
+            ))
+        spark.createDataFrame(rows, datagen.IMAGE_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(in_dir))
+
+    out_dir = str(tmp_path / "out")
+
+    def latest_composites():
+        df = spark.read.option("basePath", out_dir).parquet(out_dir + "/batch=*")
+        rows = df.withColumn(
+            "batch",
+            F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("long"),
+        ).collect()
+        best = {}
+        for r in rows:
+            k = r["raster_id"]
+            if k not in best or r["batch"] > best[k]["batch"]:
+                best[k] = r
+        return best
+
+    write_generation(0, shift=0)
+    q1 = streaming.stream_running_tile_max(spark, str(in_dir), out_dir, ck, 128)
+    q1.awaitTermination(120)
+    first = latest_composites()
+    assert first["obs0000"]["n_merged"] == 1
+
+    write_generation(1, shift=100)  # different pixels, same keys
+    q2 = streaming.stream_running_tile_max(spark, str(in_dir), out_dir, ck, 128)
+    q2.awaitTermination(120)
+    second = latest_composites()
+    for i in range(3):
+        rid = f"obs{i:04d}"
+        row = second[rid]
+        assert row["n_merged"] == 2
+        got = decode_block(row["tile"], row["dtype"], row["h"], row["w"], 1)
+        a = datagen.render_pixels(i, 128, 128, rgba=False)
+        b = datagen.render_pixels(i + 100, 128, 128, rgba=False)
+        np.testing.assert_array_equal(got, np.maximum(a, b))

@@ -141,3 +141,24 @@ def test_hyperplane_topk_recall(spark, emb):
     full = {(r["query_id"], r["vec_id"]) for r in
             SS.hyperplane_topk(qs, emb, k=10, n_bits=8, probe_hamming=8).collect()}
     assert full == exact
+
+
+def test_ivf_topk_recall_and_exact_degradation(spark, emb):
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in SS.cosine_topk(qs, emb, k=10).collect()}
+    approx = {(r["query_id"], r["vec_id"]) for r in
+              SS.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=6).collect()}
+    recall = len(exact & approx) / len(exact)
+    # synthetic embeddings are near-isotropic — the hardest case for a
+    # coarse quantizer; 6/16 lists still retrieves most true neighbours
+    assert recall >= 0.7, recall
+    # probing every list degrades to exact
+    full = {(r["query_id"], r["vec_id"]) for r in
+            SS.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=16).collect()}
+    assert full == exact
+    # determinism: same seed → same result set
+    again = {(r["query_id"], r["vec_id"]) for r in
+             SS.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=6).collect()}
+    assert again == approx
