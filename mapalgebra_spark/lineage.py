@@ -87,17 +87,26 @@ class Job:
     # -- execution ------------------------------------------------------------
 
     def run(self, resume: bool = True) -> dict[str, DataFrame]:
+        import uuid
+
         outputs: dict[str, DataFrame] = {}
         for st in self.stages:
-            out_path = os.path.join(self.root, "data", st.name)
             snap = self.catalog.current_snapshot(st.name)
             if resume and snap is not None:
-                outputs[st.name] = self.spark.read.parquet(out_path)
+                outputs[st.name] = self.spark.read.parquet(snap["data_path"])
                 self._record_metrics(st.name, 0.0, snap["row_count"], snap["n_files"], "skipped")
                 continue
             t0 = time.perf_counter()
+            # Iceberg write discipline: every run lands in a FRESH
+            # immutable snapshot directory; the catalog pointer swaps
+            # only after a fully successful write.  A crash mid-write
+            # can therefore never damage the last committed snapshot,
+            # and older snapshots stay readable (time travel).
+            out_path = os.path.join(
+                self.root, "data", st.name, f"snap-{uuid.uuid4().hex[:12]}"
+            )
             df = st.fn(self.spark, {k: outputs[k] for k in st.inputs})
-            df.write.mode("overwrite").parquet(out_path)
+            df.write.mode("errorifexists").parquet(out_path)
             back = self.spark.read.parquet(out_path)
             rows = back.count()
             nparts = back.rdd.getNumPartitions()
@@ -107,3 +116,19 @@ class Job:
             self._record_metrics(st.name, time.perf_counter() - t0, rows, nparts, "ok")
             outputs[st.name] = back
         return outputs
+
+    def read_snapshot(self, stage: str, snapshot_id: str | None = None) -> DataFrame:
+        """Time travel: read a stage's output at a given snapshot
+        (default: the current one)."""
+        if snapshot_id is None:
+            snap = self.catalog.current_snapshot(stage)
+            if snap is None:
+                raise KeyError(f"no committed snapshot for stage {stage!r}")
+        else:
+            matches = [
+                s for s in self.catalog.snapshots(stage) if s["snapshot_id"] == snapshot_id
+            ]
+            if not matches:
+                raise KeyError(f"snapshot {snapshot_id!r} not found for {stage!r}")
+            snap = matches[0]
+        return self.spark.read.parquet(snap["data_path"])

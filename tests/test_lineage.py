@@ -59,3 +59,37 @@ def test_job_runs_and_resumes(spark, tmp_path):
     met = spark.read.parquet(os.path.join(root, "metrics"))
     stats = {r["stage"]: r for r in met.filter(F.col("status") == "ok").collect()}
     assert stats["a"]["rows"] == 100
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_path):
+    """Re-running a stage must write a NEW immutable snapshot dir (a
+    crash can never damage the committed one) and old snapshots stay
+    readable by id (time travel)."""
+    from mapalgebra_spark.lineage import Job
+
+    root = str(tmp_path / "job")
+    job = Job(spark, root, "tt")
+
+    @job.stage("src")
+    def src(spark_, _):
+        return spark_.range(0, 5).withColumnRenamed("id", "v")
+
+    job.run()
+    snap1 = job.catalog.current_snapshot("src")
+
+    job2 = Job(spark, root, "tt2")
+
+    @job2.stage("src")
+    def src2(spark_, _):
+        return spark_.range(0, 9).withColumnRenamed("id", "v")
+
+    job2.run(resume=False)  # force a re-run → second snapshot
+    snap2 = job2.catalog.current_snapshot("src")
+    assert snap2["snapshot_id"] != snap1["snapshot_id"]
+    assert snap2["data_path"] != snap1["data_path"]
+    # current = new data; time travel = old data, both intact
+    assert job2.read_snapshot("src").count() == 9
+    assert job2.read_snapshot("src", snap1["snapshot_id"]).count() == 5
+    assert len(job2.catalog.snapshots("src")) == 2
+    with pytest.raises(KeyError):
+        job2.read_snapshot("src", "nope")
