@@ -109,3 +109,46 @@ def test_fused_local_chain_no_exchange(spark):
     tr = TileRaster.from_arrays(spark, {"r": np.ones((20, 20))}, tile_size=8)
     out = ((tr * 3 - 1) / 2.0).map(np.sqrt).map(np.square).strict()
     assert "Exchange" not in plan_of(out.df)
+
+
+def test_upsample_nearest_no_exchange(spark):
+    """2x nearest upsample is a pure per-tile map — zero shuffle."""
+    from mapalgebra_spark.operators import pyramid as P
+
+    tr = TileRaster.from_arrays(spark, {"r": np.ones((20, 20))}, tile_size=8)
+    out = P.upsample2(tr, "nearest")
+    assert "Exchange" not in plan_of(out.df), plan_of(out.df)
+
+
+def test_reproject_points_no_exchange_whole_stage_codegen(spark):
+    """Reprojection is a JVM-side projection stage: no shuffle, no
+    Python runner, inside WholeStageCodegen."""
+    from mapalgebra_spark import projections as PJ
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 0.1).alias("x"), (F.col("id") * 0.05).alias("y")
+    )
+    out = PJ.reproject_points(df, PJ.LATLNG, PJ.WEBMERCATOR)
+    plan = plan_of(out)
+    assert "Exchange" not in plan, plan
+    # "*(n)" prefixes mark WholeStageCodegen stages in plan.toString()
+    assert plan.lstrip().startswith("*("), plan
+    assert "Python" not in plan, plan
+
+
+def test_focal_radius_single_strip_shuffle(spark):
+    """The radius-r engine must shuffle only the strip exchange + its
+    collect_list: one pair of Exchanges total beyond the source
+    repartition — never tile-bytes re-shuffles per op."""
+    from mapalgebra_spark.operators import focal_ext as FX
+
+    rng = np.random.default_rng(1)
+    tr = TileRaster.from_arrays(spark, {"r": rng.normal(size=(40, 40))}, tile_size=16)
+    out = FX.focal_radius(
+        tr, ["fsum", "fmean", "fmax"], radius=2, tile_pitch=16, persist_combined=False
+    )["fsum"]
+    plan = plan_of(out._combined)
+    # exchanges: (1) source repartition, (2) strips → groupBy partial/
+    # final.  Sharing 3 ops must not add any.
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{plan}"
