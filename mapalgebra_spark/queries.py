@@ -478,6 +478,20 @@ def q_cosine_topk_lsh(spark, sf_dir):
     )
 
 
+def q_cosine_topk_ivf(spark, sf_dir):
+    """IVF scale path checked against the same exact-top-k oracle
+    (n_probe == n_centroids degrades to exact by construction)."""
+    from .simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=16).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def q_minhash_pairs(spark, sf_dir):
     from .textops import minhash_lsh_pairs
 
@@ -930,6 +944,7 @@ SELECT query_id, vec_id, rank FROM (
 """
 ORACLE["cosine_topk"] = _COSINE_TOPK_SQL
 ORACLE["cosine_topk_lsh"] = _COSINE_TOPK_SQL
+ORACLE["cosine_topk_ivf"] = _COSINE_TOPK_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -984,6 +999,7 @@ QUERIES = {
     "quality_scores": q_quality_scores,
     "cosine_topk": q_cosine_topk,
     "cosine_topk_lsh": q_cosine_topk_lsh,
+    "cosine_topk_ivf": q_cosine_topk_ivf,
     "minhash_pairs": q_minhash_pairs,  # rows-only
     "ngram_jaccard": q_ngram_jaccard,  # rows-only
     "simhash": q_simhash,  # rows-only
