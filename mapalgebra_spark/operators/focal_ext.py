@@ -198,6 +198,77 @@ def _pitch_checked(row, pitch: int):
         )
 
 
+def plan_strips(
+    ty: int, tx: int, h: int, w: int, nty: int, ntx: int, rh: int, rw: int,
+    radius: int, pitch: int,
+) -> list[tuple[int, int, int, int, slice, slice]]:
+    """Pure routing plan for one sender tile: which sub-blocks of my
+    core land in which receivers' halo canvases.
+
+    Returns (ty2, tx2, oy, ox, row_slice, col_slice) per receiver —
+    (oy, ox) are paste offsets in the receiver's (h'+2r, w'+2r) canvas,
+    the slices index MY core.  Property-tested against a full-raster
+    np.pad oracle without Spark (tests/test_properties.py)."""
+    r = radius
+    y0, x0 = ty * pitch, tx * pitch
+    hops = r // pitch + 1
+    out = []
+    for ty2 in range(max(0, ty - hops), min(nty, ty + hops + 1)):
+        for tx2 in range(max(0, tx - hops), min(ntx, tx + hops + 1)):
+            if ty2 == ty and tx2 == tx:
+                continue
+            y0b, x0b = ty2 * pitch, tx2 * pitch
+            hb = min(pitch, rh - y0b)
+            wb = min(pitch, rw - x0b)
+            # receiver halo box ∩ my core
+            ry_lo, ry_hi = max(y0, y0b - r), min(y0 + h, y0b + hb + r)
+            rx_lo, rx_hi = max(x0, x0b - r), min(x0 + w, x0b + wb + r)
+            if ry_lo >= ry_hi or rx_lo >= rx_hi:
+                continue
+            out.append(
+                (
+                    ty2, tx2,
+                    ry_lo - (y0b - r), rx_lo - (x0b - r),
+                    slice(ry_lo - y0, ry_hi - y0), slice(rx_lo - x0, rx_hi - x0),
+                )
+            )
+    return out
+
+
+def assemble_radius(
+    core: np.ndarray,
+    received: list[tuple[int, int, np.ndarray]],
+    ty: int, tx: int, rh: int, rw: int,
+    radius: int, pitch: int,
+    mode: str, fill=0,
+) -> np.ndarray:
+    """Pure (h+2r, w+2r) halo assembly: paste core + received blocks
+    (each (oy, ox, block)), then synthesize true-raster-edge bands with
+    ``np.pad`` on the cropped real region — axis order (rows before
+    cols) matches a global np.pad of the whole raster."""
+    r = radius
+    h, w = core.shape
+    y0, x0 = ty * pitch, tx * pitch
+    canvas = np.zeros((h + 2 * r, w + 2 * r), dtype=core.dtype)
+    filled = np.zeros((h + 2 * r, w + 2 * r), dtype=bool)
+    canvas[r : r + h, r : r + w] = core
+    filled[r : r + h, r : r + w] = True
+    for oy, ox, blk in received:
+        sh, sw = blk.shape
+        canvas[oy : oy + sh, ox : ox + sw] = blk
+        filled[oy : oy + sh, ox : ox + sw] = True
+    pt, pb = max(0, r - y0), max(0, y0 + h + r - rh)
+    pl, pr = max(0, r - x0), max(0, x0 + w + r - rw)
+    H2, W2 = h + 2 * r, w + 2 * r
+    if not filled[pt : H2 - pb, pl : W2 - pr].all():
+        raise AssertionError(f"halo under-coverage at tile ({ty},{tx}) radius {r}")
+    ext = canvas[pt : H2 - pb, pl : W2 - pr]
+    if pt or pb or pl or pr:
+        kw = {"constant_values": fill} if mode == K.BORDER_FILL else {}
+        return np.pad(ext, ((pt, pb), (pl, pr)), mode=mode, **kw)
+    return ext
+
+
 def _emit_strips(src, radius: int, pitch: int):
     r = radius
 
@@ -207,38 +278,27 @@ def _emit_strips(src, radius: int, pitch: int):
             for i in range(len(pdf)):
                 row = pdf.iloc[i]
                 _pitch_checked(row, pitch)
-                ty, tx = int(row["ty"]), int(row["tx"])
-                nty, ntx = int(row["nty"]), int(row["ntx"])
-                rh, rw = int(row["rh"]), int(row["rw"])
-                h, w = int(row["h"]), int(row["w"])
                 if int(row["planes"]) != 1:
                     raise ValueError("focal_radius supports planes == 1 blocks")
+                h, w = int(row["h"]), int(row["w"])
                 core = decode_block(row["tile"], row["dtype"], h, w, 1)
-                y0, x0 = ty * pitch, tx * pitch
-                hops = r // pitch + 1
-                for ty2 in range(max(0, ty - hops), min(nty, ty + hops + 1)):
-                    for tx2 in range(max(0, tx - hops), min(ntx, tx + hops + 1)):
-                        if ty2 == ty and tx2 == tx:
-                            continue
-                        y0b, x0b = ty2 * pitch, tx2 * pitch
-                        hb = min(pitch, rh - y0b)
-                        wb = min(pitch, rw - x0b)
-                        # receiver halo box ∩ my core
-                        ry_lo, ry_hi = max(y0, y0b - r), min(y0 + h, y0b + hb + r)
-                        rx_lo, rx_hi = max(x0, x0b - r), min(x0 + w, x0b + wb + r)
-                        if ry_lo >= ry_hi or rx_lo >= rx_hi:
-                            continue
-                        blk = core[ry_lo - y0 : ry_hi - y0, rx_lo - x0 : rx_hi - x0]
-                        out["raster_id"].append(row["raster_id"])
-                        out["band"].append(int(row["band"]))
-                        out["ty"].append(ty2)
-                        out["tx"].append(tx2)
-                        out["oy"].append(ry_lo - (y0b - r))
-                        out["ox"].append(rx_lo - (x0b - r))
-                        out["sh"].append(ry_hi - ry_lo)
-                        out["sw"].append(rx_hi - rx_lo)
-                        out["sdtype"].append(str(core.dtype))
-                        out["strip"].append(encode_block(blk))
+                plan = plan_strips(
+                    int(row["ty"]), int(row["tx"]), h, w,
+                    int(row["nty"]), int(row["ntx"]),
+                    int(row["rh"]), int(row["rw"]), r, pitch,
+                )
+                for ty2, tx2, oy, ox, rs, cs in plan:
+                    blk = core[rs, cs]
+                    out["raster_id"].append(row["raster_id"])
+                    out["band"].append(int(row["band"]))
+                    out["ty"].append(ty2)
+                    out["tx"].append(tx2)
+                    out["oy"].append(oy)
+                    out["ox"].append(ox)
+                    out["sh"].append(blk.shape[0])
+                    out["sw"].append(blk.shape[1])
+                    out["sdtype"].append(str(core.dtype))
+                    out["strip"].append(encode_block(blk))
             yield pd.DataFrame(out)
 
     return src.mapInPandas(emit, _STRIP_SCHEMA)
@@ -295,41 +355,29 @@ def focal_radius(
                 ty, tx = int(row["ty"]), int(row["tx"])
                 rh, rw = int(row["rh"]), int(row["rw"])
                 core = decode_block(row["tile"], row["dtype"], h, w, 1)
-                y0, x0 = ty * tile_pitch, tx * tile_pitch
-                canvas = np.zeros((h + 2 * r, w + 2 * r), dtype=core.dtype)
-                filled = np.zeros((h + 2 * r, w + 2 * r), dtype=bool)
-                canvas[r : r + h, r : r + w] = core
-                filled[r : r + h, r : r + w] = True
                 hl = row["halo"]
+                received = []
                 if isinstance(hl, (list, np.ndarray)):  # None/NaN when no strips
                     for srow in hl:
-                        sh, sw = int(srow["sh"]), int(srow["sw"])
-                        oy, ox = int(srow["oy"]), int(srow["ox"])
-                        canvas[oy : oy + sh, ox : ox + sw] = decode_block(
-                            srow["strip"], srow["sdtype"], sh, sw, 1
+                        received.append(
+                            (
+                                int(srow["oy"]), int(srow["ox"]),
+                                decode_block(
+                                    srow["strip"], srow["sdtype"],
+                                    int(srow["sh"]), int(srow["sw"]), 1,
+                                ),
+                            )
                         )
-                        filled[oy : oy + sh, ox : ox + sw] = True
-                # true-raster-edge band thickness per side
-                pt, pb = max(0, r - y0), max(0, y0 + h + r - rh)
-                pl, pr = max(0, r - x0), max(0, x0 + w + r - rw)
-                H2, W2 = h + 2 * r, w + 2 * r
-                real = filled[pt : H2 - pb, pl : W2 - pr]
-                if not real.all():
-                    raise AssertionError(
-                        f"halo under-coverage at tile ({ty},{tx}) radius {r}"
-                    )
-                ext = canvas[pt : H2 - pb, pl : W2 - pr]
                 for s in specs:
-                    e = ext.astype(np.dtype(s.cast)) if s.cast else ext
-                    if pt or pb or pl or pr:
-                        kw = (
-                            {"constant_values": s.fill}
-                            if s.mode == K.BORDER_FILL
-                            else {}
-                        )
-                        padded = np.pad(e, ((pt, pb), (pl, pr)), mode=s.mode, **kw)
-                    else:
-                        padded = e
+                    c = core.astype(np.dtype(s.cast)) if s.cast else core
+                    rec = (
+                        [(oy, ox, b.astype(np.dtype(s.cast))) for oy, ox, b in received]
+                        if s.cast
+                        else received
+                    )
+                    padded = assemble_radius(
+                        c, rec, ty, tx, rh, rw, r, tile_pitch, s.mode, s.fill
+                    )
                     res = np.asarray(s.kernel(padded, r))
                     res_tile[s.name][i] = encode_block(res)
                     res_dt[s.name][i] = str(res.dtype)

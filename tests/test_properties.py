@@ -113,3 +113,56 @@ def test_classify_lookup_le(vals, keys):
     for v, o in zip(vals, out):
         le = [k for k in keys if k <= v]
         assert o == (ramp[max(le)] if le else -1)
+
+
+@given(
+    H=st.integers(1, 30),
+    W=st.integers(1, 30),
+    pitch=st.integers(1, 12),
+    radius=st.integers(1, 7),
+    mode=st.sampled_from(
+        [K.BORDER_FILL, K.BORDER_EDGE, K.BORDER_REFLECT, K.BORDER_CONTINUE]
+    ),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=150, deadline=None)
+def test_radius_halo_property(H, W, pitch, radius, mode, seed):
+    """For ANY raster shape x tile pitch x radius x border mode, routing
+    every tile's plan_strips to its receivers and assembling must equal
+    np.pad of the full raster — the pure-python simulation of the
+    distributed exchange (multi-hop, slivers, rasters smaller than the
+    window all arise from the random geometry)."""
+    from mapalgebra_spark.operators.focal_ext import assemble_radius, plan_strips
+
+    rng = np.random.default_rng(seed)
+    full = rng.integers(0, 9, size=(H, W)).astype(np.float64)
+    kw = {"constant_values": 3.0} if mode == K.BORDER_FILL else {}
+    expected = np.pad(full, radius, mode=mode, **kw)
+
+    nty = (H + pitch - 1) // pitch
+    ntx = (W + pitch - 1) // pitch
+
+    def core_of(ty, tx):
+        return full[ty * pitch : min((ty + 1) * pitch, H),
+                    tx * pitch : min((tx + 1) * pitch, W)]
+
+    # simulate the exchange: sender-side plans → receiver inboxes
+    inbox = {(ty, tx): [] for ty in range(nty) for tx in range(ntx)}
+    for ty in range(nty):
+        for tx in range(ntx):
+            core = core_of(ty, tx)
+            for ty2, tx2, oy, ox, rs, cs in plan_strips(
+                ty, tx, core.shape[0], core.shape[1], nty, ntx, H, W, radius, pitch
+            ):
+                inbox[(ty2, tx2)].append((oy, ox, core[rs, cs]))
+
+    for ty in range(nty):
+        for tx in range(ntx):
+            core = core_of(ty, tx)
+            got = assemble_radius(
+                core, inbox[(ty, tx)], ty, tx, H, W, radius, pitch, mode, 3.0
+            )
+            y0, x0 = ty * pitch, tx * pitch
+            ref = expected[y0 : y0 + core.shape[0] + 2 * radius,
+                           x0 : x0 + core.shape[1] + 2 * radius]
+            np.testing.assert_array_equal(got, ref, err_msg=f"tile {(ty, tx)}")
