@@ -49,6 +49,36 @@ def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
+def bilinear_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Arbitrary-size bilinear resample (up OR down) of a (h, w) or
+    (h, w, c) image — fully vectorized numpy, half-pixel-center
+    convention (like OpenCV INTER_LINEAR / PIL BILINEAR), edges
+    clamped.  Identity-exact when out dims == in dims (tested)."""
+    a = np.asarray(arr, dtype=np.float64)
+    h, w = a.shape[:2]
+    sy = (np.arange(out_h) + 0.5) * (h / out_h) - 0.5
+    sx = (np.arange(out_w) + 0.5) * (w / out_w) - 0.5
+    y0 = np.clip(np.floor(sy).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(sx).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(sy - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(sx - x0, 0.0, 1.0)[None, :]
+    if a.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    tl = a[np.ix_(y0, x0)]
+    tr_ = a[np.ix_(y0, x1)]
+    bl = a[np.ix_(y1, x0)]
+    br = a[np.ix_(y1, x1)]
+    top = tl + (tr_ - tl) * fx
+    bot = bl + (br - bl) * fx
+    out = top + (bot - top) * fy
+    if np.issubdtype(np.asarray(arr).dtype, np.integer):
+        return np.clip(np.round(out), 0, 255).astype(np.asarray(arr).dtype)
+    return out
+
+
 THUMB_SCHEMA = T.StructType(
     [
         T.StructField("image_id", T.StringType()),

@@ -118,3 +118,27 @@ def test_constant_and_from_function(spark):
     got = f.collect_array("f")
     yy, xx = np.mgrid[0:50, 0:60]
     np.testing.assert_array_equal(got, yy * 100 + xx)
+
+def test_bilinear_resize_properties():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    # identity resize is exact
+    np.testing.assert_array_equal(imageops.bilinear_resize(img, 17, 23), img)
+    rgba = rng.integers(0, 256, (10, 12, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(imageops.bilinear_resize(rgba, 10, 12), rgba)
+    # constant image stays constant at any size
+    const = np.full((9, 7), 55, dtype=np.uint8)
+    assert (imageops.bilinear_resize(const, 30, 4) == 55).all()
+    # monotone horizontal gradient stays monotone after resize
+    grad = np.tile(np.arange(0, 200, 8, dtype=np.uint8), (5, 1))
+    up = imageops.bilinear_resize(grad, 5, 100).astype(np.int64)
+    assert (np.diff(up[2]) >= 0).all()
+    # 2x down then 2x up of smooth data stays close
+    smooth = datagen.render_pixels(1, 64, 64, rgba=False)
+    rt = imageops.bilinear_resize(imageops.bilinear_resize(smooth, 32, 32), 64, 64)
+    assert codecs.psnr(smooth, rt) > 30.0
+    # hand-check the half-pixel convention on a tiny 1-D case:
+    # [0, 100] → 4 samples at src coords -0.25, 0.25, 0.75, 1.25
+    tiny = np.array([[0.0, 100.0]])
+    out = imageops.bilinear_resize(tiny, 1, 4)
+    np.testing.assert_allclose(out[0], [0.0, 25.0, 75.0, 100.0])
