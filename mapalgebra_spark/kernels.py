@@ -129,8 +129,23 @@ def plane_ab_raw(p: np.ndarray):
     oracles use the same collected form so results stay bit-identical.
     """
     nw, no, ne, we, _, ea, sw, so, se = shifts(np.asarray(p, dtype=np.float64))
-    a = ((sw + se - nw - ne) + 4.0 * (so - no)) / 12.0
-    b = ((ne + se - nw - sw) + 4.0 * (ea - we)) / 12.0
+    # in-place accumulation with the SAME operation order as the
+    # textbook form above — bit-identical results, ~3x fewer temp
+    # allocations (the kernel is memory-bandwidth bound)
+    a = sw + se
+    a -= nw
+    a -= ne
+    t = so - no
+    t *= 4.0
+    a += t
+    a /= 12.0
+    b = ne + se
+    b -= nw
+    b -= sw
+    np.subtract(ea, we, out=t)
+    t *= 4.0
+    b += t
+    b /= 12.0
     return a, b
 
 
@@ -140,8 +155,17 @@ def k_gradient(p: np.ndarray) -> np.ndarray:
     n = normalize([a, b, -1]) so n_z = -1/sqrt(a^2+b^2+1).
     """
     a, b = plane_ab_raw(p)
-    nz = -1.0 / np.sqrt(a * a + b * b + 1.0)
-    return (TAU / 2.0) - np.arccos(nz)
+    # in-place form of (TAU/2) - arccos(-1/sqrt(a*a + b*b + 1.0)) with
+    # identical operation order (bit-identical to the SQL oracle)
+    np.multiply(a, a, out=a)
+    np.multiply(b, b, out=b)
+    a += b
+    a += 1.0
+    np.sqrt(a, out=a)
+    np.divide(-1.0, a, out=a)
+    np.arccos(a, out=a)
+    np.subtract(TAU / 2.0, a, out=a)
+    return a
 
 
 def k_aspect(p: np.ndarray) -> np.ndarray:
