@@ -416,6 +416,30 @@ def q_reproject(spark, sf_dir):
     )
 
 
+def q_reproject_raster(spark, sf_dir):
+    """Whole-raster reprojection (latlng grid → webmercator grid, same
+    G x G dims).  Rows-only: the oracle would need DuckDB's ln/tan/atan
+    to match numpy's bit-for-bit, which libm differences don't
+    guarantee; correctness is proven against the pure numpy oracle in
+    tests/test_reproject.py instead."""
+    import math
+
+    from . import projections as PJ
+    from .gridq import GRID_TILE
+    from .operators import reproject as RP
+
+    tr, _, G = _val_tiles(spark, sf_dir)
+    src_bounds = (0.0, 0.0, 40.0, 40.0)
+    x0, y0 = PJ.reproject_np(PJ.LATLNG, PJ.WEBMERCATOR, 0.0, 0.0)
+    x1, y1 = PJ.reproject_np(PJ.LATLNG, PJ.WEBMERCATOR, 40.0, 40.0)
+    out = RP.reproject_raster(
+        spark, tr, PJ.LATLNG, PJ.WEBMERCATOR, src_bounds,
+        (float(x0), float(y0), float(x1), float(y1)), G, G,
+        tile_size=GRID_TILE, tile_pitch=GRID_TILE,
+    )
+    return _r6(tiles_to_rows(out, "rval"), "rval")
+
+
 # --- documents / training-data ops ---------------------------------------------
 
 
@@ -993,6 +1017,7 @@ QUERIES = {
     "knn_cells": q_knn_cells,
     "pip_rect": q_pip,
     "reproject_points": q_reproject,
+    "reproject_raster_grid": q_reproject_raster,  # rows-only
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "doc_quality": q_doc_quality,
