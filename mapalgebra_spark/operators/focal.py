@@ -61,6 +61,7 @@ class FocalSpec:
     mode: str
     fill: float = 0
     cast: str | None = None  # cast input before padding (e.g. float64)
+    out_cast: str | None = None  # narrow the RESULT dtype (e.g. float32)
 
 
 # Border modes per reference op (MapAlgebra.hs lines cited in kernels.py)
@@ -162,6 +163,7 @@ def focal_multi(
     num_partitions: int | None = None,
     repartition: bool = True,
     persist_combined: bool = True,
+    out_dtype: str | None = None,
 ) -> dict[str, TileRaster]:
     """Run several focal ops over ONE halo materialization.
 
@@ -169,8 +171,19 @@ def focal_multi(
     binary column per op; each returned TileRaster selects its own and
     shares the underlying plan, so persisting the combined df (done here
     when >1 op) computes the halo join exactly once.
+
+    ``out_dtype`` narrows every op's RESULT dtype after the (float64)
+    kernel runs — e.g. "float32" for 8-bit imagery, where float64
+    outputs would carry 8x the source bytes through every downstream
+    stage for precision the data doesn't have.  Default None keeps the
+    kernel's native dtype (the reference-exact float64 path used by all
+    oracle-checked queries).
     """
     specs = [FOCAL_OPS[o] if isinstance(o, str) else o for o in ops]
+    if out_dtype is not None:
+        from dataclasses import replace as _dc_replace
+
+        specs = [_dc_replace(sp, out_cast=out_dtype) for sp in specs]
     src = tr.strict().df
     if repartition:
         src = src.repartition(*(
@@ -251,6 +264,8 @@ def focal_multi(
                             }
                         padded_cache[ck] = assemble_halo(c, st, s.mode, s.fill, **at)
                     res = np.asarray(s.kernel(padded_cache[ck]))
+                    if s.out_cast:
+                        res = res.astype(np.dtype(s.out_cast))
                     res_cols[f"tile_{s.name}"][r] = encode_block(res)
                     res_dt[s.name][r] = str(res.dtype)
                     res_pl[s.name][r] = res.shape[0] if res.ndim == 3 else 1

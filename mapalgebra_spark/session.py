@@ -35,7 +35,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "64")
+        # tile rows are FAT (64KB-1MB of blob each): small Arrow batches
+        # pipeline the JVM->Python->JVM stream instead of buffering
+        # multi-GB chunks per task (measured on the flagship at 8 cores:
+        # 256-row batches 9.7s -> 16-row batches 4.9s)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
