@@ -67,13 +67,16 @@ def run_flagship_subprocess(cores: int, img_path: str) -> dict:
     matching the 'two cluster sizes' semantics of the north_rule."""
     import subprocess
 
-    out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--flagship", str(cores), img_path],
-        capture_output=True, text=True, timeout=1800,
-    )
-    if out.returncode != 0:
-        raise RuntimeError(f"flagship@{cores} failed:\n{out.stderr[-2000:]}")
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    last_err = None
+    for _attempt in range(2):  # one retry: worker socket resets are transient
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship", str(cores), img_path],
+            capture_output=True, text=True, timeout=1800,
+        )
+        if out.returncode == 0:
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        last_err = out.stderr[-2000:]
+    raise RuntimeError(f"flagship@{cores} failed twice:\n{last_err}")
 
 
 def run_flagship(cores: int, img_path: str, runs: int = 3) -> dict:
