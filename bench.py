@@ -58,6 +58,25 @@ def ensure_images(n: int) -> str:
     return img_path
 
 
+def ensure_tiles(n: int) -> str:
+    """Materialize the decoded TILE table once — the flagship measures
+    the steady-state focal stage over a tile table at rest (the 100 TB
+    posture: decode/ingest happened at write time).  Also keeps the two
+    scaling legs close together in wall-clock, which matters on a host
+    with bursty frequency windows."""
+    tiles_path = os.path.join(REPO, "BENCH", f"tiles_{n}.parquet")
+    if not os.path.exists(os.path.join(tiles_path, "_SUCCESS")):
+        from mapalgebra_spark.ingest import tiles_from_images
+        from mapalgebra_spark.session import get_spark
+
+        img_path = ensure_images(n)
+        spark = get_spark(app="bench_tilegen", master=f"local[{CPUS}]")
+        tr = tiles_from_images(spark.read.parquet(img_path), tile_size=256, as_float=False)
+        tr.df.write.mode("overwrite").parquet(tiles_path)
+        spark.stop()
+    return tiles_path
+
+
 def run_flagship_subprocess(cores: int, img_path: str) -> dict:
     """Run one flagship measurement in a FRESH process/JVM.
 
@@ -88,7 +107,6 @@ def run_flagship(cores: int, img_path: str, runs: int = 3) -> dict:
     strip shuffle + one cogrouped dual-kernel stage + output
     materialization — the steady-state per-stage cost a long pipeline
     pays."""
-    from mapalgebra_spark.ingest import tiles_from_images
     from mapalgebra_spark.operators import focal as FO
     from mapalgebra_spark.raster import TileRaster
     from mapalgebra_spark.session import get_spark
@@ -113,11 +131,14 @@ def run_flagship(cores: int, img_path: str, runs: int = 3) -> dict:
         },
     )
     try:
-        images = spark.read.parquet(img_path)
-        # tiles stay uint8 (native image dtype); focal specs cast inside
-        # the kernel stage -> 8x less JVM<->Python transfer on the input
-        tr = tiles_from_images(images, tile_size=256, as_float=False)
-        src = tr.df.repartition(cores * part_mult, *KEY_COLS).persist()
+        # tile table at rest (uint8 blobs — native image dtype; focal
+        # specs cast inside the kernel stage -> 8x less JVM<->Python
+        # transfer on the input side)
+        src = (
+            spark.read.parquet(img_path)
+            .repartition(cores * part_mult, *KEY_COLS)
+            .persist()
+        )
         n_tiles = src.count()  # materialize input outside the timed region
         # warm the Python workers on every partition (imports, Arrow
         # buffers) with a shuffle-free identity pass
@@ -177,7 +198,7 @@ def main():
         print(json.dumps(run_flagship(int(sys.argv[2]), sys.argv[3])))
         return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    img_path = ensure_images(N_IMAGES)
+    img_path = ensure_tiles(N_IMAGES)
 
     # The host shows bursty CPU-steal noise (identical runs observed at
     # 8.5s..43s); interleave the two legs and keep each leg's best so
