@@ -29,6 +29,7 @@ _PARTIAL_SCHEMA = T.StructType(
     [
         T.StructField("zone", T.LongType()),
         T.StructField("psum", T.DoubleType()),
+        T.StructField("pss", T.DoubleType()),
         T.StructField("pcnt", T.LongType()),
         T.StructField("pmin", T.DoubleType()),
         T.StructField("pmax", T.DoubleType()),
@@ -37,12 +38,17 @@ _PARTIAL_SCHEMA = T.StructType(
 
 
 def _final_agg(partials: DataFrame) -> DataFrame:
+    s, ss, n = F.sum("psum"), F.sum("pss"), F.sum("pcnt")
     return partials.groupBy("zone").agg(
-        F.sum("psum").alias("zsum"),
-        F.sum("pcnt").alias("zcount"),
-        (F.sum("psum") / F.sum("pcnt")).alias("zmean"),
+        s.alias("zsum"),
+        n.alias("zcount"),
+        (s / n).alias("zmean"),
         F.min("pmin").alias("zmin"),
         F.max("pmax").alias("zmax"),
+        # sample variance from the (sum, sum-of-squares, count) sketch —
+        # the same algebraic form the SQL oracle uses, so integral
+        # inputs compare exactly
+        F.when(n > 1, (ss - s * s / n) / (n - 1)).alias("zvar"),
     )
 
 
@@ -58,7 +64,7 @@ def zonal_stats(values: TileRaster, zones: TileRaster) -> DataFrame:
 
     def partial(batches):
         for pdf in batches:
-            zs, sums, cnts, mins, maxs = [], [], [], [], []
+            zs, sums, sqs, cnts, mins, maxs = [], [], [], [], [], []
             for r in range(len(pdf)):
                 row = pdf.iloc[r]
                 h, w = int(row["h"]), int(row["w"])
@@ -71,6 +77,7 @@ def zonal_stats(values: TileRaster, zones: TileRaster) -> DataFrame:
                 zz = np.asarray(res_z, dtype=np.int64).ravel()
                 uniq, inv = np.unique(zz, return_inverse=True)
                 sums_ = np.bincount(inv, weights=vv)
+                sqs_ = np.bincount(inv, weights=vv * vv)
                 cnts_ = np.bincount(inv)
                 # per-zone min/max via sorted segmentation
                 order = np.argsort(inv, kind="stable")
@@ -80,11 +87,13 @@ def zonal_stats(values: TileRaster, zones: TileRaster) -> DataFrame:
                 maxs_ = np.maximum.reduceat(sv, np.concatenate([[0], bounds]))
                 zs.extend(uniq.tolist())
                 sums.extend(sums_.tolist())
+                sqs.extend(sqs_.tolist())
                 cnts.extend(cnts_.astype(np.int64).tolist())
                 mins.extend(mins_.tolist())
                 maxs.extend(maxs_.tolist())
             yield pd.DataFrame(
-                {"zone": zs, "psum": sums, "pcnt": cnts, "pmin": mins, "pmax": maxs}
+                {"zone": zs, "psum": sums, "pss": sqs, "pcnt": cnts,
+                 "pmin": mins, "pmax": maxs}
             )
 
     return _final_agg(joined.df.mapInPandas(partial, _PARTIAL_SCHEMA))
@@ -96,7 +105,7 @@ def zonal_stats_by_cell(values: TileRaster) -> DataFrame:
 
     def partial(batches):
         for pdf in batches:
-            rows = {"zone": [], "psum": [], "pcnt": [], "pmin": [], "pmax": []}
+            rows = {"zone": [], "psum": [], "pss": [], "pcnt": [], "pmin": [], "pmax": []}
             for r in range(len(pdf)):
                 row = pdf.iloc[r]
                 v = decode_block(
@@ -104,6 +113,7 @@ def zonal_stats_by_cell(values: TileRaster) -> DataFrame:
                 ).astype(np.float64)
                 rows["zone"].append(int(row["cell_id"]))
                 rows["psum"].append(float(v.sum()))
+                rows["pss"].append(float((v * v).sum()))
                 rows["pcnt"].append(int(v.size))
                 rows["pmin"].append(float(v.min()))
                 rows["pmax"].append(float(v.max()))

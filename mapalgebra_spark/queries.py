@@ -194,7 +194,34 @@ def q_zonal(spark, sf_dir):
     g, G = grid_df(spark, sf_dir)
     v = grid_to_tiles(g, G, "val", "float64", "a")
     z = grid_to_tiles(g, G, "zone", "int64", "a")
-    return Z.zonal_stats(v, z)
+    return Z.zonal_stats(v, z).select("zone", "zsum", "zcount", "zmean", "zmin", "zmax")
+
+
+def q_zonal_var(spark, sf_dir):
+    # sample variance per zone from the (sum, sum-of-squares, count)
+    # sketch — exact vs the oracle because val is integral
+    g, G = grid_df(spark, sf_dir)
+    v = grid_to_tiles(g, G, "val", "float64", "a")
+    z = grid_to_tiles(g, G, "zone", "int64", "a")
+    return Z.zonal_stats(v, z).select("zone", F.round("zvar", 6).alias("zvar"))
+
+
+def q_event_windows(spark, sf_dir):
+    """The streaming layer's windowed aggregation in its batch form
+    (same code path the stream runs; watermark is a no-op on batch).
+    Window bounds reported as epoch seconds so the oracle compare is
+    format-independent."""
+    from .streaming import stream_event_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = stream_event_stats(ev, window="1 minute")
+    return out.select(
+        F.col("win_start").cast("long").alias("ws"),
+        F.col("win_end").cast("long").alias("we"),
+        "event_type",
+        "n",
+        F.round("total", 6).alias("total"),
+    )
 
 
 def _focal_rows(spark, sf_dir, op, out_name, col="val", dtype="float64", round6=False, nan_to_null=False):
@@ -622,6 +649,20 @@ SELECT zone, sum(val) AS zsum, count(*) AS zcount, sum(val)/count(*) AS zmean,
        min(val) AS zmin, max(val) AS zmax
 FROM grid GROUP BY zone
 """
+ORACLE["zonal_var_grid"] = f"""
+WITH {GRID_CTE},
+agg AS (
+  SELECT zone, sum(val) AS s, sum(val*val) AS ss, count(*) AS n
+  FROM grid GROUP BY zone
+)
+SELECT zone, round((ss - s*s/n)/(n-1), 6) AS zvar FROM agg WHERE n > 1
+"""
+ORACLE["event_windows"] = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 minute', ts)) AS BIGINT) AS ws,
+       CAST(epoch(time_bucket(INTERVAL '1 minute', ts) + INTERVAL '1 minute') AS BIGINT) AS we,
+       event_type, count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY 1, 2, 3
+"""
 ORACLE["fsum_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_FILL}
 SELECT c.gy, c.gx, sum(n.val) AS fsum
@@ -986,6 +1027,8 @@ QUERIES = {
     "lminority_grid": q_lminority,
     "histogram_grid": q_histogram,
     "zonal_grid": q_zonal,
+    "zonal_var_grid": q_zonal_var,
+    "event_windows": q_event_windows,
     "fsum_grid": q_fsum,
     "fmean_grid": q_fmean,
     "fmax_grid": q_fmax,
