@@ -235,6 +235,18 @@ def q_fsum(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fsum", "fsum")
 
 
+def q_fproduct(spark, sf_dir):
+    # product of the 3x3 window, Fill-1 border; ival+1 in {1..4} keeps
+    # the 9-fold product integral and well under 2^53 (exact doubles)
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    shifted = tr.map(lambda a: (a + 1).astype("float64")).strict()
+    return tiles_to_rows(FO.focal(shifted, "fproduct"), "fprod")
+
+
+def q_lsum(spark, sf_dir):
+    return _r6(tiles_to_rows(R.lsum(_three(spark, sf_dir)), "vsum"), "vsum")
+
+
 def q_fmean(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fmean", "fmean", round6=True)
 
@@ -669,6 +681,18 @@ SELECT c.gy, c.gx, sum(n.val) AS fsum
 {_JOIN_LEFT}
 GROUP BY c.gy, c.gx
 """
+ORACLE["fproduct_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_FILL},
+nb AS ({_pivot9(_JOIN_LEFT, "ival")})
+SELECT gy, gx,
+  (COALESCE(nw+1, 1) * COALESCE(no+1, 1) * COALESCE(ne+1, 1)
+   * COALESCE(we+1, 1) * (fo+1) * COALESCE(ea+1, 1)
+   * COALESCE(sw+1, 1) * COALESCE(so+1, 1) * COALESCE(se+1, 1)) * 1.0 AS fprod
+FROM nb
+"""
+ORACLE["lsum_grid"] = (
+    f"WITH {GRID_CTE} SELECT gy, gx, round(val + val2 + val3, 6) AS vsum FROM grid"
+)
 ORACLE["fmean_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_FILL}
 SELECT c.gy, c.gx, round(sum(COALESCE(n.val, 0))/9.0, 6) AS fmean
@@ -1030,6 +1054,8 @@ QUERIES = {
     "zonal_var_grid": q_zonal_var,
     "event_windows": q_event_windows,
     "fsum_grid": q_fsum,
+    "fproduct_grid": q_fproduct,
+    "lsum_grid": q_lsum,
     "fmean_grid": q_fmean,
     "fmax_grid": q_fmax,
     "fmin_grid": q_fmin,
