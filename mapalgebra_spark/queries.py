@@ -556,6 +556,8 @@ def q_cosine_topk_ivf(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
+    # deterministic end-to-end (md5 shingle hashes + fixed permutation
+    # constants) so the DuckDB oracle recomputes the identical LSH
     from .textops import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
@@ -564,8 +566,8 @@ def q_minhash_pairs(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # rows-only: exact 3-gram Jaccard over LSH candidates (shingle
-    # hashing not reasonably SQL); verified vs local sets in tests
+    # exact 3-gram Jaccard over LSH candidates pre-filtered at
+    # est >= threshold - 0.1; oracle mirrors candidates-then-verify
     from .textops import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -1034,6 +1036,129 @@ SELECT query_id, vec_id, rank FROM (
 ORACLE["cosine_topk"] = _COSINE_TOPK_SQL
 ORACLE["cosine_topk_lsh"] = _COSINE_TOPK_SQL
 ORACLE["cosine_topk_ivf"] = _COSINE_TOPK_SQL
+
+
+# --- text-op oracles: DuckDB re-implementations of the SAME deterministic
+# md5-based pipelines (textops.py) — every hash, permutation constant and
+# fold is identical, so the driver's value-hash compare is exact.
+
+from .textops import (  # noqa: E402  (constants shared with the Spark side)
+    LANGS as _TX_LANGS,
+    LANG_N as _TX_LANG_N,
+    MH_A as _TX_A,
+    MH_B as _TX_B,
+    N_BANDS as _TX_NB,
+    N_HASHES as _TX_NH,
+    P31 as _TX_P,
+    ROWS_PER_BAND as _TX_RPB,
+    SIMHASH_BITS as _TX_SB,
+    _LANG_PROFILES as _TX_PROFILES,
+)
+
+# shared minhash CTE chain: tokens → shingles → distinct 31-bit hashes →
+# 64-column signatures → banded buckets → candidate pairs + est_jaccard
+_TX_SIG_COLS = ", ".join(
+    f"min(({int(_TX_A[i])}*hh + {int(_TX_B[i])}) % {_TX_P}) AS m{i}" for i in range(_TX_NH)
+)
+_TX_BAND_CASE = (
+    "CASE b.band "
+    + " ".join(
+        f"WHEN {bd} THEN concat_ws(',', "
+        + ", ".join(f"m{i}" for i in range(bd * _TX_RPB, (bd + 1) * _TX_RPB))
+        + ")"
+        for bd in range(_TX_NB)
+    )
+    + " END"
+)
+_TX_MATCHES = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(_TX_NH))
+_MINHASH_CTE = f"""
+toksd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+shing AS (SELECT doc_id,
+  CASE WHEN len(tk) >= 3
+       THEN [array_to_string(tk[i+1:i+3], ' ') FOR i IN range(0, len(tk)-2)]
+       ELSE [array_to_string(tk, ' ')] END AS sh FROM toksd),
+shh AS (SELECT DISTINCT doc_id,
+  ('0x'||substr(md5(s),1,15))::BIGINT % {_TX_P} AS hh
+  FROM shing, LATERAL (SELECT unnest(sh) AS s) u),
+sigs AS (SELECT doc_id, {_TX_SIG_COLS} FROM shh GROUP BY doc_id),
+bands AS (SELECT doc_id, b.band AS band, {_TX_BAND_CASE} AS bkey
+  FROM sigs, LATERAL (SELECT unnest(range({_TX_NB})) AS band) b),
+cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id),
+est AS (SELECT c.doc_a, c.doc_b, ({_TX_MATCHES})/{float(_TX_NH)} AS est
+  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+              JOIN sigs sb ON sb.doc_id = c.doc_b)
+"""
+
+ORACLE["minhash_pairs"] = f"""
+WITH {_MINHASH_CTE}
+SELECT doc_a, doc_b, round(est, 6) AS est_jaccard FROM est WHERE est >= 0.2
+"""
+
+ORACLE["ngram_jaccard"] = f"""
+WITH {_MINHASH_CTE},
+sets AS (SELECT doc_id, list(DISTINCT hh) AS hs FROM shh GROUP BY doc_id),
+jac AS (SELECT e.doc_a, e.doc_b,
+  len(list_intersect(sa.hs, sb.hs)) / CAST(len(list_distinct(sa.hs || sb.hs)) AS DOUBLE) AS j
+  FROM est e JOIN sets sa ON sa.doc_id = e.doc_a
+             JOIN sets sb ON sb.doc_id = e.doc_b
+  WHERE e.est >= 0.1)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.2
+"""
+
+_SH_VOTES = ", ".join(
+    f"sum(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(_TX_SB)
+)
+_SH_ASSEMBLE = " + ".join(f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(_TX_SB))
+ORACLE["simhash"] = f"""
+WITH tokd AS (SELECT doc_id, ('0x'||substr(md5(tok),1,15))::BIGINT AS hh
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)),
+votes AS (SELECT doc_id, {_SH_VOTES} FROM tokd GROUP BY doc_id)
+SELECT doc_id, CAST({_SH_ASSEMBLE} AS BIGINT) AS simhash FROM votes
+"""
+
+
+def _langid_sql() -> str:
+    letters = sorted({ch for p in _TX_PROFILES.values() for ch in p})
+    cnt = ", ".join(
+        f"(length(lt) - length(replace(lt, '{ch}', '')))::HUGEINT AS c_{ch}" for ch in letters
+    )
+    dots = ", ".join(
+        "(" + " + ".join(f"c_{ch}*{w}" for ch, w in _TX_PROFILES[lg].items()) + f") AS d_{lg}"
+        for lg in _TX_LANGS
+    )
+
+    def ge(x, y):
+        return f"d_{x}*d_{x}*{_TX_LANG_N[y]}::HUGEINT >= d_{y}*d_{y}*{_TX_LANG_N[x]}::HUGEINT"
+
+    branches = []
+    for lg in _TX_LANGS[:-1]:
+        cond = " AND ".join(ge(lg, mg) for mg in _TX_LANGS if mg != lg)
+        branches.append(f"WHEN {cond} THEN '{lg}'")
+    case = (
+        "CASE WHEN n_alpha = 0 THEN 'unknown' "
+        + " ".join(branches)
+        + f" ELSE '{_TX_LANGS[-1]}' END"
+    )
+    return f"""
+WITH lc AS (SELECT doc_id, lower(text) AS lt FROM documents),
+cc AS (SELECT doc_id, {cnt},
+  length(lt) - length(regexp_replace(lt, '[a-z]', '', 'g')) AS n_alpha FROM lc),
+dd AS (SELECT doc_id, n_alpha, {dots} FROM cc)
+SELECT doc_id, {case} AS lang_pred FROM dd
+"""
+
+
+ORACLE["lang_id"] = _langid_sql()
+
+ORACLE["fingerprint"] = """
+WITH toksd AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+tokf AS (SELECT doc_id, i AS pos, tk[i] AS tok
+  FROM toksd, LATERAL (SELECT unnest(range(1, len(tk)+1)) AS i) g)
+SELECT doc_id, bit_xor(('0x'||substr(md5(pos || ':' || tok),1,15))::BIGINT) AS fingerprint
+FROM tokf GROUP BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -1,57 +1,96 @@
 """Text / training-data pipeline operators over the ``documents`` table.
 
 Beyond the reference's raster surface, a 100 TB training-data engine
-needs dedup + text analysis primitives.  All are DataFrame-native with
-Arrow-batched numpy where Spark lacks a builtin; nothing is per-row
-Python.
+needs dedup + text analysis primitives.  Everything here is **pure JVM
+column expressions** (whole-stage codegen; no Python UDFs, no Arrow
+round-trips) built on one deterministic cross-engine hash:
+
+    h(s) = CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)
+
+60 bits of md5 — identical in DuckDB as
+``('0x' || substr(md5(s),1,15))::BIGINT`` — so every operator below has
+an exact relational oracle (see queries.py) and is hash-checked by the
+driver, not just rows-counted.
 
 - exact dedup        — hash groupBy (md5 fingerprint)
-- MinHash + LSH      — shingle → 64 minhashes → 8 bands x 8 rows →
-                       band-bucket self-join → verified Jaccard pairs.
-                       The self-join is on (band, bucket-hash): only
-                       colliding docs meet, the classic near-dup sweep.
-- SimHash            — 64-bit hyperplane-free simhash over token
-                       hashes; hamming-distance pairs within LSH bands.
-- n-gram Jaccard     — exact verification kernel (used by both LSH
-                       paths; also exposed standalone for small inputs)
-- language ID        — letter-frequency cosine heuristic (no external
-                       models; deterministic)
+- MinHash + LSH      — word-3-shingles → h31 → 64 universal hashes
+                       (a_i*x+b_i mod 2^31-1, 64 min-aggregates) →
+                       8 bands x 8 rows → band-bucket self-join.
+                       Only colliding docs ever meet: never all-pairs.
+- SimHash            — 60-bit simhash over token hashes as 60
+                       conditional sums in ONE aggregate; hamming
+                       pairs via 15-bit chunk buckets.
+- n-gram Jaccard     — exact Jaccard of shingle-hash sets over LSH
+                       candidates pre-filtered at est >= t - eps
+                       (array_intersect/array_union, JVM-side).
+- language ID        — letter-frequency cosine vs fixed profiles with
+                       exact integer cross-multiplied argmax (no float
+                       tie hazards between engines).
 - quality scoring    — length / punctuation / stopword ratios
-- fingerprinting     — 64-bit rolling (polynomial) content hash
+- fingerprinting     — order-sensitive 60-bit content fingerprint:
+                       bit_xor over h(position:token).
 """
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
-# deterministic 64-bit string hash (stable across workers, unlike hash())
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
+# --- the shared 60-bit md5 hash (Spark <-> DuckDB identical) -----------------
 
-
-def _fnv1a(s: str) -> np.uint64:
-    h = _FNV_OFFSET
-    for b in s.encode("utf-8"):
-        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-    return h
+P31 = 2147483647  # 2^31 - 1 (Mersenne): universal-hash modulus
 
 
-def _token_hashes(text: str) -> np.ndarray:
-    return np.array([_fnv1a(t) for t in text.split()], dtype=np.uint64)
+def h60(col) -> F.Column:
+    """60-bit deterministic hash of a string column (JVM md5 + conv)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
-    toks = text.split()
-    if len(toks) < k:
-        return np.array([_fnv1a(" ".join(toks))], dtype=np.uint64)
-    return np.array(
-        [_fnv1a(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)],
-        dtype=np.uint64,
+def h31(col) -> F.Column:
+    """h60 folded into [0, 2^31-1) for universal-hash arithmetic."""
+    return h60(col) % F.lit(P31)
+
+
+def h60_local(s: str) -> int:
+    """Python reference of :func:`h60` (tests / local oracles only)."""
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+# --- shingles -----------------------------------------------------------------
+
+SHINGLE_K = 3
+
+#: word k-shingle strings of `text` (SQL fragment; < k tokens → the
+#: space-normalized text itself, matching the DuckDB oracle branch)
+_TOKS = "split(text, ' ', -1)"
+SHINGLES_SQL = (
+    f"CASE WHEN size({_TOKS}) >= {SHINGLE_K} THEN "
+    f"transform(sequence(0, size({_TOKS})-{SHINGLE_K}), "
+    f"i -> concat_ws(' ', slice({_TOKS}, i+1, {SHINGLE_K}))) "
+    f"ELSE array(concat_ws(' ', {_TOKS})) END"
+)
+
+
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, hh) — DISTINCT 31-bit shingle hashes per document."""
+    return (
+        docs.select("doc_id", F.explode(F.expr(SHINGLES_SQL)).alias("s"))
+        .select("doc_id", h31(F.col("s")).alias("hh"))
+        .distinct()
     )
+
+
+def shingle_hashes_local(text: str, k: int = SHINGLE_K) -> np.ndarray:
+    """Python reference of :func:`shingle_hashes` for one document."""
+    toks = text.split(" ")
+    if len(toks) >= k:
+        sh = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    else:
+        sh = [" ".join(toks)]
+    return np.unique(np.array([h60_local(s) % P31 for s in sh], dtype=np.int64))
 
 
 # --- MinHash ------------------------------------------------------------------
@@ -59,87 +98,76 @@ def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
 N_HASHES = 64
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
-_MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _minhash_params(seed: int = 42):
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
-    b = rng.integers(0, (1 << 61) - 1, size=N_HASHES, dtype=np.uint64)
+    a = rng.integers(1, P31, size=N_HASHES, dtype=np.int64)
+    b = rng.integers(0, P31, size=N_HASHES, dtype=np.int64)
     return a, b
 
 
-_MH_A, _MH_B = _minhash_params()
+#: the (a_i, b_i) of perm_i(x) = (a_i*x + b_i) mod P31 — shared with the
+#: DuckDB oracle generator in queries.py (same module-level constants)
+MH_A, MH_B = _minhash_params()
 
 
-def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """64 min-hashes of a shingle-hash set (universal hashing mod the
-    Mersenne prime 2^61-1), vectorized (n_shingles x 64)."""
-    if len(shingles) == 0:
-        return np.zeros(N_HASHES, dtype=np.uint64)
-    x = (shingles % _MERSENNE).astype(np.uint64)
-    # (n, 64): (a*x + b) mod p  — python ints to dodge uint64 overflow
-    prods = (x[:, None].astype(object) * _MH_A[None, :].astype(object)
-             + _MH_B[None, :].astype(object)) % int(_MERSENNE)
-    return np.min(np.asarray(prods, dtype=np.uint64), axis=0)
-
-
-_SIG_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("sig", T.ArrayType(T.LongType())),
-        T.StructField("n_shingles", T.IntegerType()),
+def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, m0..m63): 64 min-hashes as 64 partial-aggregated
+    ``min`` expressions over the exploded shingle hashes — one shuffle,
+    whole-stage codegen, no Python."""
+    assert k == SHINGLE_K, "shingle width is baked into SHINGLES_SQL"
+    sh = shingle_hashes(docs)
+    aggs = [
+        F.min((F.lit(int(MH_A[i])) * F.col("hh") + F.lit(int(MH_B[i]))) % F.lit(P31)).alias(
+            f"m{i}"
+        )
+        for i in range(N_HASHES)
     ]
-)
+    return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_signatures(docs: DataFrame, k: int = 3) -> DataFrame:
-    def run(batches):
-        for pdf in batches:
-            ids, sigs, ns = [], [], []
-            for r in range(len(pdf)):
-                sh = _shingle_hashes(pdf.iloc[r]["text"], k)
-                ids.append(int(pdf.iloc[r]["doc_id"]))
-                sigs.append([int(x) for x in minhash_signature(np.unique(sh))])
-                ns.append(len(np.unique(sh)))
-            yield pd.DataFrame({"doc_id": ids, "sig": sigs, "n_shingles": ns})
-
-    return docs.select("doc_id", "text").mapInPandas(run, _SIG_SCHEMA)
+def minhash_signature_local(hh: np.ndarray) -> np.ndarray:
+    """Python reference of one signature (int64 math, no overflow:
+    a, x < 2^31 so a*x+b < 2^62)."""
+    x = np.asarray(hh, dtype=np.int64)
+    return ((x[:, None] * MH_A[None, :] + MH_B[None, :]) % P31).min(axis=0)
 
 
-def minhash_lsh_pairs(
-    docs: DataFrame, threshold: float = 0.7, k: int = 3
-) -> DataFrame:
-    """Near-duplicate pairs (doc_a < doc_b, est_jaccard) via banded LSH:
-    docs whose signatures agree on any full band meet in a bucket; the
-    estimated Jaccard (signature agreement rate) filters the rest.  The
-    only shuffles: the band explode groupBy and the pair dedup."""
-    sigs = minhash_signatures(docs, k).persist()
-    bands = sigs.select(
-        "doc_id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            *[F.col("sig")[i] for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)]
-                        ).alias("bucket"),
-                    )
-                    for b in range(N_BANDS)
-                ]
+def _band_structs():
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"m{i}").cast("string")
+                        for i in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)
+                    ],
+                ).alias("bkey"),
             )
-        ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = bands.alias("l")
-    right = bands.alias("r")
-    pairs = (
-        left.join(
-            right,
+            for b in range(N_BANDS)
+        ]
+    )
+
+
+def _lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, sig_a, sig_b) for signature pairs agreeing on at
+    least one full band.  The self-join key is (band, band-key): only
+    colliding docs meet — the classic banded-LSH sweep, never
+    all-pairs."""
+    sig = F.array(*[F.col(f"m{i}") for i in range(N_HASHES)])
+    bands = sigs.select(
+        "doc_id", sig.alias("sig"), F.explode(_band_structs()).alias("bb")
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
             on=[
                 F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.bkey") == F.col("r.bkey"),
                 F.col("l.doc_id") < F.col("r.doc_id"),
             ],
         )
@@ -151,75 +179,103 @@ def minhash_lsh_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    est = pairs.withColumn(
-        "est_jaccard",
-        F.aggregate(
-            F.zip_with("sig_a", "sig_b", lambda a, b: (a == b).cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        )
-        / F.lit(float(N_HASHES)),
-    )
+
+
+def _est_jaccard() -> F.Column:
+    return F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(float(N_HASHES))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7, k: int = SHINGLE_K) -> DataFrame:
+    """Near-duplicate pairs (doc_a < doc_b, est_jaccard) via banded LSH.
+    Deterministic end-to-end (md5 hashes + fixed permutation constants)
+    — the DuckDB oracle recomputes the identical pipeline."""
+    pairs = _lsh_candidates(minhash_signatures(docs, k))
+    est = pairs.withColumn("est_jaccard", _est_jaccard())
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5, k: int = 3) -> DataFrame:
-    """Exact n-gram Jaccard over LSH candidate pairs (verification path)."""
-    cand = minhash_lsh_pairs(docs, threshold=0.0, k=k)
-    texts = docs.select(F.col("doc_id"), F.col("text"))
-    j = (
-        cand.join(texts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), on="doc_a")
-        .join(texts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), on="doc_b")
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, k: int = SHINGLE_K, prefilter_eps: float = 0.1
+) -> DataFrame:
+    """Exact n-gram Jaccard (verification path) over LSH candidates.
+
+    Candidates are pre-filtered at ``est_jaccard >= threshold -
+    prefilter_eps`` so a skewed band bucket can't explode into a
+    quadratic exact-verify stage; the Jaccard itself is
+    array_intersect/array_union over DISTINCT shingle-hash sets — all
+    JVM, no per-row Python."""
+    sigs = minhash_signatures(docs, k)
+    cand = (
+        _lsh_candidates(sigs)
+        .withColumn("est", _est_jaccard())
+        .filter(F.col("est") >= threshold - prefilter_eps)
+        .select("doc_a", "doc_b")
     )
-
-    @F.pandas_udf(T.DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i in range(len(ta)):
-            sa = set(np.unique(_shingle_hashes(ta.iloc[i], k)).tolist())
-            sb = set(np.unique(_shingle_hashes(tb.iloc[i], k)).tolist())
-            out[i] = len(sa & sb) / max(len(sa | sb), 1)
-        return pd.Series(out)
-
-    return (
-        j.withColumn("jaccard", jac("text_a", "text_b"))
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    sets = shingle_hashes(docs).groupBy("doc_id").agg(F.collect_set("hh").alias("hs"))
+    j = (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), on="doc_a"
+        )
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b")), on="doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("hs_a", "hs_b"))
+            / F.size(F.array_union("hs_a", "hs_b")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
 # --- SimHash ------------------------------------------------------------------
 
-
-def simhash64(text: str) -> int:
-    th = _token_hashes(text)
-    if len(th) == 0:
-        return 0
-    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    v = (2 * bits - 1).sum(axis=0)
-    out = 0
-    for i in range(64):
-        if v[i] > 0:
-            out |= 1 << i
-    return out - (1 << 64) if out >= 1 << 63 else out
+SIMHASH_BITS = 60  # h60 width; 4 chunks of 15 bits for the hamming buckets
 
 
 def simhash_df(docs: DataFrame) -> DataFrame:
-    @F.pandas_udf(T.LongType())
-    def sh(texts: pd.Series) -> pd.Series:
-        return pd.Series([simhash64(t) for t in texts], dtype="int64")
+    """(doc_id, simhash): 60-bit simhash over token hashes.
 
-    return docs.select("doc_id", sh(F.col("text")).alias("simhash"))
+    One explode + one aggregate: bit i's vote is sum(+-1 per token by
+    bit i of h60(token)); the hash reassembles as a sum of CASE terms.
+    Token multiplicity is the weight (classic simhash)."""
+    toks = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok")).select(
+        "doc_id", h60(F.col("tok")).alias("hh")
+    )
+    votes = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hh"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    acc = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        acc = term if acc is None else acc + term
+    return votes.select("doc_id", acc.alias("simhash"))
+
+
+def simhash_local(text: str) -> int:
+    """Python reference of :func:`simhash_df` for one document."""
+    hs = np.array([h60_local(t) for t in text.split(" ")], dtype=np.int64)
+    out = 0
+    for i in range(SIMHASH_BITS):
+        v = int((2 * ((hs >> i) & 1) - 1).sum())
+        if v > 0:
+            out |= 1 << i
+    return out
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, bucketed on 16-bit
+    """Near-dup pairs by simhash hamming distance, bucketed on 15-bit
     chunks (a pair within hamming<=3 of 4 chunks shares at least one
-    exact chunk; for larger budgets this is a recall-oriented filter)."""
+    exact chunk; larger budgets make this a recall-oriented filter)."""
     s = simhash_df(docs)
     chunks = s.select(
         "doc_id",
@@ -229,7 +285,9 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftright(F.col("simhash"), c * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .alias("key"),
                     )
                     for c in range(4)
                 ]
@@ -268,35 +326,64 @@ _LANG_PROFILES = {
     "fr": {"e": 147, "a": 76, "i": 75, "s": 79, "n": 71, "r": 66, "t": 72, "u": 63, "l": 55},
     "es": {"e": 137, "a": 125, "o": 87, "s": 80, "r": 69, "n": 67, "i": 63, "d": 59, "l": 50},
 }
+LANGS = sorted(_LANG_PROFILES)  # de, en, es, fr — argmax tie order
+LANG_LETTERS = sorted({ch for p in _LANG_PROFILES.values() for ch in p})
+#: squared profile norms (exact integers)
+LANG_N = {lg: sum(w * w for w in p.values()) for lg, p in _LANG_PROFILES.items()}
 
 
 def language_id(docs: DataFrame) -> DataFrame:
-    """Letter-frequency cosine against fixed profiles → best language."""
-    langs = sorted(_LANG_PROFILES)
-    profs = []
-    for lg in langs:
-        v = np.zeros(26)
-        for ch, f in _LANG_PROFILES[lg].items():
-            v[ord(ch) - 97] = f
-        profs.append(v / np.linalg.norm(v))
-    P = np.stack(profs)
+    """Letter-frequency cosine against fixed profiles → best language.
 
-    @F.pandas_udf(T.StringType())
-    def lid(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            counts = np.zeros(26)
-            for b in t.lower().encode("ascii", "ignore"):
-                if 97 <= b <= 122:
-                    counts[b - 97] += 1
-            n = np.linalg.norm(counts)
-            if n == 0:
-                out.append("unknown")
+    cos(P_lg, c) ordering is decided EXACTLY: dot products and squared
+    norms are integers, so lg beats mg iff dot_lg^2 * N_mg >= dot_mg^2
+    * N_lg (both dots >= 0) — decimal(38,0) arithmetic, no float ties,
+    identical in the DuckDB oracle (HUGEINT)."""
+    lt = F.lower(F.col("text"))
+    counts = {
+        ch: (F.length(lt) - F.length(F.replace(lt, F.lit(ch), F.lit("")))) for ch in LANG_LETTERS
+    }
+    dots = {
+        lg: sum(
+            (counts[ch] * F.lit(w) for ch, w in prof.items()), F.lit(0)
+        ).cast("decimal(38,0)")
+        for lg, prof in _LANG_PROFILES.items()
+    }
+
+    def ge(x: str, y: str) -> F.Column:
+        return dots[x] * dots[x] * F.lit(LANG_N[y]) >= dots[y] * dots[y] * F.lit(LANG_N[x])
+
+    n_alpha = F.length(lt) - F.length(F.regexp_replace(lt, "[a-z]", ""))
+    pred = F.when(n_alpha == 0, F.lit("unknown"))
+    for lg in LANGS[:-1]:
+        cond = None
+        for mg in LANGS:
+            if mg == lg:
                 continue
-            out.append(langs[int(np.argmax(P @ (counts / n)))])
-        return pd.Series(out)
+            c = ge(lg, mg)
+            cond = c if cond is None else cond & c
+        pred = pred.when(cond, F.lit(lg))
+    pred = pred.otherwise(F.lit(LANGS[-1]))
+    return docs.select("doc_id", pred.alias("lang_pred"))
 
-    return docs.select("doc_id", lid(F.col("text")).alias("lang_pred"))
+
+def language_id_local(text: str) -> str:
+    """Python reference of :func:`language_id` (same exact-integer rule)."""
+    lt = text.lower()
+    counts = {ch: lt.count(ch) for ch in LANG_LETTERS}
+    if sum(1 for c in lt if "a" <= c <= "z") == 0:
+        return "unknown"
+    dots = {
+        lg: sum(counts[ch] * w for ch, w in prof.items()) for lg, prof in _LANG_PROFILES.items()
+    }
+    for lg in LANGS:
+        if all(
+            dots[lg] ** 2 * LANG_N[mg] >= dots[mg] ** 2 * LANG_N[lg]
+            for mg in LANGS
+            if mg != lg
+        ):
+            return lg
+    return LANGS[-1]
 
 
 def quality_scores(docs: DataFrame) -> DataFrame:
@@ -322,16 +409,22 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 
 def fingerprint64(docs: DataFrame) -> DataFrame:
-    """Deterministic 64-bit rolling polynomial content hash."""
+    """Order-sensitive 60-bit content fingerprint: bit_xor over
+    h60('<1-based position>:<token>').  Permutations, insertions and
+    edits all change the fingerprint; pure JVM (posexplode + bit_xor
+    aggregate, partial-agg before the shuffle)."""
+    e = docs.select("doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "tok"))
+    h = h60(F.concat((F.col("pos") + 1).cast("string"), F.lit(":"), F.col("tok")))
+    return (
+        e.select("doc_id", h.alias("h"))
+        .groupBy("doc_id")
+        .agg(F.expr("bit_xor(h)").alias("fingerprint"))
+    )
 
-    @F.pandas_udf(T.LongType())
-    def fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            h = 0
-            for b in t.encode("utf-8"):
-                h = (h * 1000003 + b) & 0xFFFFFFFFFFFFFFFF
-            out.append(h - (1 << 64) if h >= 1 << 63 else h)
-        return pd.Series(out, dtype="int64")
 
-    return docs.select("doc_id", fp(F.col("text")).alias("fingerprint"))
+def fingerprint_local(text: str) -> int:
+    """Python reference of :func:`fingerprint64`."""
+    out = 0
+    for i, tok in enumerate(text.split(" ")):
+        out ^= h60_local(f"{i + 1}:{tok}")
+    return out

@@ -32,8 +32,8 @@ def docs(spark):
 
 
 def _jaccard(a: str, b: str, k=3):
-    sa = set(np.unique(TX._shingle_hashes(a, k)).tolist())
-    sb = set(np.unique(TX._shingle_hashes(b, k)).tolist())
+    sa = set(TX.shingle_hashes_local(a, k).tolist())
+    sb = set(TX.shingle_hashes_local(b, k).tolist())
     return len(sa & sb) / max(len(sa | sb), 1)
 
 
@@ -81,7 +81,7 @@ def test_simhash_matches_local(spark, docs):
     rows = TX.simhash_df(docs).collect()
     pdf = docs.toPandas().set_index("doc_id")["text"]
     for r in rows[:10]:
-        assert r["simhash"] == TX.simhash64(pdf[r["doc_id"]])
+        assert r["simhash"] == TX.simhash_local(pdf[r["doc_id"]])
 
 
 def test_language_id_and_quality(spark):
