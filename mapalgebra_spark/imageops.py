@@ -75,7 +75,8 @@ def bilinear_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     bot = bl + (br - bl) * fx
     out = top + (bot - top) * fy
     if np.issubdtype(np.asarray(arr).dtype, np.integer):
-        return np.clip(np.round(out), 0, 255).astype(np.asarray(arr).dtype)
+        info = np.iinfo(np.asarray(arr).dtype)
+        return np.clip(np.round(out), info.min, info.max).astype(np.asarray(arr).dtype)
     return out
 
 

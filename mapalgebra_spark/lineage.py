@@ -3,7 +3,7 @@ tables (BASELINE.json north_rule).
 
 An engine ``Job`` is a DAG of named stages, each a function
 ``(spark, inputs: dict[str, DataFrame]) -> DataFrame``.  Every stage's
-output is written to ``<root>/data/<stage>/`` as Parquet via an
+output is written to ``<root>/snapshots/<stage>/snap-*`` as Parquet via an
 Iceberg-style catalog (catalog.py: snapshot log + schema + row counts —
 plain Parquet underneath since the sandbox has no Iceberg jars, behind
 an abstraction where a real catalog slots in).
@@ -102,8 +102,11 @@ class Job:
             # only after a fully successful write.  A crash mid-write
             # can therefore never damage the last committed snapshot,
             # and older snapshots stay readable (time travel).
+            # snapshots live in their own subtree (NOT inside a stage's
+            # flat parquet dir: a non key=value subdir inside a dataset
+            # breaks partition discovery on legacy data_path reads)
             out_path = os.path.join(
-                self.root, "data", st.name, f"snap-{uuid.uuid4().hex[:12]}"
+                self.root, "snapshots", st.name, f"snap-{uuid.uuid4().hex[:12]}"
             )
             df = st.fn(self.spark, {k: outputs[k] for k in st.inputs})
             df.write.mode("errorifexists").parquet(out_path)

@@ -158,10 +158,12 @@ def histogram_binned(
                 block = decode_block(
                     row["tile"], row["dtype"], int(row["h"]), int(row["w"]), int(row["planes"])
                 ).astype(np.float64)
+                flat = block.ravel()
+                flat = flat[~np.isnan(flat)]  # NaN → undefined int cast
                 idx = np.clip(
-                    np.floor((block - lo) / width).astype(np.int64), 0, bins - 1
+                    np.floor((flat - lo) / width).astype(np.int64), 0, bins - 1
                 )
-                acc += np.bincount(idx.ravel(), minlength=bins)
+                acc += np.bincount(idx, minlength=bins)
             yield pd.DataFrame({"bin": np.arange(bins, dtype=np.int32), "cnt": acc})
 
     out = src.mapInPandas(partial, schema).groupBy("bin").agg(F.sum("cnt").alias("count"))

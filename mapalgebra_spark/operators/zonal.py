@@ -47,7 +47,11 @@ def _final_agg(partials: DataFrame) -> DataFrame:
         F.max("pmax").alias("zmax"),
         # sample variance from the (sum, sum-of-squares, count) sketch —
         # the same algebraic form the SQL oracle uses, so integral
-        # inputs compare exactly
+        # inputs compare exactly.  NULL for single-cell zones.  NOTE:
+        # the sketch is cancellation-prone when |mean| >> stddev on
+        # non-integral data (ss and s*s/n nearly cancel); for such data
+        # prefer a shifted-value pass or Welford-merge — documented
+        # limitation, exactness is only claimed for integral inputs.
         F.when(n > 1, (ss - s * s / n) / (n - 1)).alias("zvar"),
     )
 

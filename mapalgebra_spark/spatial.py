@@ -211,17 +211,21 @@ def knn_cells(
     # queries whose kth neighbour is farther fall back to brute force.
     cell_deg = 180.0 / (1 << level)
     bound_km = (max_ring - 1) * cell_deg * 111.0  # 1 deg lat ≈ 111 km
+    # ONE lazy plan, no driver-side action: topk is persisted (lazily)
+    # and reused by all three branches; queries that fail the bound
+    # anti-join out of `good` and re-enter via brute force.  When no
+    # query fails, the fallback's broadcast side is empty and AQE's
+    # empty-relation propagation elides the scan at runtime — the
+    # 100 TB path never pays for a fallback it doesn't take.
+    topk = topk.persist()
     per_q = topk.groupBy("query_id").agg(
         F.count("*").alias("found"), F.max("dist_km").alias("kth")
     )
     bad = per_q.filter((F.col("found") < k) | (F.col("kth") > bound_km)).select("query_id")
-    n_bad = bad.count()
-    if n_bad == 0:
-        return topk
     fallback = knn_bruteforce(
-        queries.join(bad, on="query_id", how="inner"), points, k
+        queries.join(F.broadcast(bad), on="query_id", how="inner"), points, k
     )
-    good = topk.join(bad, on="query_id", how="left_anti")
+    good = topk.join(F.broadcast(bad), on="query_id", how="left_anti")
     return good.unionByName(fallback)
 
 

@@ -152,3 +152,31 @@ def test_focal_radius_single_strip_shuffle(spark):
     # final.  Sharing 3 ops must not add any.
     n_exchanges = plan.count("Exchange ")
     assert n_exchanges <= 3, f"{n_exchanges} exchanges:\n{plan}"
+
+
+def test_knn_cells_is_one_lazy_plan(spark):
+    """knn_cells must not run driver-side actions while *building* the
+    plan (the r1 implementation ran an eager count() that forced the
+    ring join twice); the fallback decision is part of the single plan."""
+    from mapalgebra_spark import spatial as SP
+
+    pts = spark.range(200).select(
+        F.col("id").cast("string").alias("point_id"),
+        ((F.col("id") * 37 % 1700) / 10.0 - 85.0).alias("lat"),
+        ((F.col("id") * 73 % 3590) / 10.0 - 179.5).alias("lng"),
+    )
+    qs = spark.range(5).select(
+        F.col("id").cast("string").alias("query_id"),
+        ((F.col("id") * 53 % 1600) / 10.0 - 80.0).alias("lat"),
+        ((F.col("id") * 97 % 3500) / 10.0 - 175.0).alias("lng"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = SP.knn_cells(spark, qs, pts, k=3, level=4, max_ring=8)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "knn_cells ran a driver-side job during plan build"
+    # and the plan still agrees with brute force when executed
+    exact = {(r["query_id"], r["point_id"], r["rank"])
+             for r in SP.knn_bruteforce(qs, pts, k=3).collect()}
+    got = {(r["query_id"], r["point_id"], r["rank"]) for r in df.collect()}
+    assert got == exact
