@@ -145,6 +145,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         return png_encode(arr)
     if fmt == "qdct":
         return qdct_encode(arr)
+    if fmt == "tiff":
+        from .tiff import tiff_encode
+
+        return tiff_encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -167,6 +171,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         return png_decode(data)
     if fmt == "qdct":
         return qdct_decode(data)
+    if fmt == "tiff":
+        from .tiff import tiff_decode
+
+        return tiff_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
