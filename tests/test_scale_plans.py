@@ -180,3 +180,23 @@ def test_knn_cells_is_one_lazy_plan(spark):
              for r in SP.knn_bruteforce(qs, pts, k=3).collect()}
     got = {(r["query_id"], r["point_id"], r["rank"]) for r in df.collect()}
     assert got == exact
+
+
+def test_textops_have_no_python_stages(spark):
+    """The text kernels must be whole-stage-codegen JVM expressions —
+    no BatchEvalPython / ArrowEvalPython / FlatMapsInPandas anywhere
+    (round-1 versions ran per-byte Python inside Arrow batches)."""
+    from mapalgebra_spark import textops as TX
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plans = {
+        "minhash": plan_of(TX.minhash_lsh_pairs(docs, threshold=0.2)),
+        "ngram": plan_of(TX.ngram_jaccard_pairs(docs, threshold=0.2)),
+        "simhash": plan_of(TX.simhash_df(docs)),
+        "lang_id": plan_of(TX.language_id(docs)),
+        "fingerprint": plan_of(TX.fingerprint64(docs)),
+        "quality": plan_of(TX.quality_scores(docs)),
+    }
+    for name, plan in plans.items():
+        for marker in ("EvalPython", "InPandas", "MapInArrow", "PythonUDF"):
+            assert marker not in plan, f"{name}: {marker} in plan\n{plan[:2000]}"
