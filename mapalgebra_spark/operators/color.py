@@ -258,3 +258,31 @@ def render_png(tr: TileRaster, raster_id: str) -> bytes:
 def grayscale(tr: TileRaster) -> TileRaster:
     """Identity band-tagging (MapAlgebra.hs:665-667)."""
     return tr
+
+
+def write_image(tr: TileRaster, raster_id: str, path: str) -> None:
+    """``writeImage`` (MapAlgebra.hs:134): assemble one raster and write
+    it in the format implied by ``path``'s extension — .png, .tif/.tiff
+    (LZW), .npy, or .raw.  Driver-side export path for small rasters;
+    the distributed sink is the parquet tile table (lineage.Job)."""
+    arr = tr.collect_array(raster_id)
+    if arr.ndim == 3:  # (bands, h, w) planes → (h, w, bands)
+        arr = np.moveaxis(arr, 0, -1)
+    ext = path.rsplit(".", 1)[-1].lower()
+    fmt = {"png": "png", "tif": "tiff", "tiff": "tiff", "npy": "npy", "raw": "raw"}.get(ext)
+    if fmt is None:
+        raise ValueError(f"writeImage: unknown extension .{ext}")
+    if fmt == "tiff":
+        from ..tiff import COMP_LZW, tiff_encode
+
+        data = tiff_encode(np.ascontiguousarray(arr, dtype=np.uint8), compression=COMP_LZW)
+    else:
+        data = codecs.encode_image(np.ascontiguousarray(arr, dtype=np.uint8), fmt)
+    with open(path, "wb") as f:
+        f.write(data)
+
+
+#: ``writeImageAuto`` (MapAlgebra.hs:134) — in the reference the Auto
+#: variant lets massiv-io pick conversions; here both share the
+#: extension-dispatched writer.
+write_image_auto = write_image

@@ -143,3 +143,21 @@ def test_gray512_histogram_golden_from_real_tiff(spark):
     assert int(got.sum()) == 262144
     bs = K.breaks(got)
     assert len(bs) == 10 and bs == sorted(bs) and all(0 <= b <= 255 for b in bs)
+
+
+@pytest.mark.spark
+def test_write_image_auto_roundtrip(spark, tmp_path):
+    """writeImage/writeImageAuto: extension-dispatched export of an
+    assembled raster (png and tiff both round-trip)."""
+    from mapalgebra_spark.operators import color as CO
+    from mapalgebra_spark.raster import TileRaster
+
+    pix = _gray512()[:96, :96]
+    tr = TileRaster.from_arrays(spark, {"g": pix}, tile_size=64)
+    for ext in ("png", "tif", "npy"):
+        p = str(tmp_path / f"out.{ext}")
+        CO.write_image_auto(tr, "g", p)
+        back = codecs.decode_image(
+            open(p, "rb").read(), {"tif": "tiff"}.get(ext, ext), 96, 96
+        )
+        np.testing.assert_array_equal(back, pix)
