@@ -74,13 +74,22 @@ SHINGLES_SQL = (
 )
 
 
-def shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, hh) — DISTINCT 31-bit shingle hashes per document."""
-    return (
-        docs.select("doc_id", F.explode(F.expr(SHINGLES_SQL)).alias("s"))
-        .select("doc_id", h31(F.col("s")).alias("hh"))
-        .distinct()
-    )
+def shingle_hashes(docs: DataFrame, distinct: bool = True) -> DataFrame:
+    """(doc_id, hh) — 31-bit shingle hashes per document.
+
+    ``distinct=False`` skips the dedup shuffle for duplicate-insensitive
+    consumers (the 64 ``min`` aggregates of a minhash signature give the
+    same result either way; the DuckDB oracle keeps DISTINCT — identical
+    output, one shuffle cheaper here).
+
+    The doc table is repartitioned by doc_id first: a document table
+    often arrives as few fat files (one input split = one task doing
+    ALL the hashing); the repartition both parallelizes the md5 stage
+    and pre-shuffles for the downstream per-doc aggregate."""
+    out = docs.repartition(F.col("doc_id")).select(
+        "doc_id", F.explode(F.expr(SHINGLES_SQL)).alias("s")
+    ).select("doc_id", h31(F.col("s")).alias("hh"))
+    return out.distinct() if distinct else out
 
 
 def shingle_hashes_local(text: str, k: int = SHINGLE_K) -> np.ndarray:
@@ -117,7 +126,7 @@ def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     ``min`` expressions over the exploded shingle hashes — one shuffle,
     whole-stage codegen, no Python."""
     assert k == SHINGLE_K, "shingle width is baked into SHINGLES_SQL"
-    sh = shingle_hashes(docs)
+    sh = shingle_hashes(docs, distinct=False)
     aggs = [
         F.min((F.lit(int(MH_A[i])) * F.col("hh") + F.lit(int(MH_B[i]))) % F.lit(P31)).alias(
             f"m{i}"
@@ -243,9 +252,9 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     One explode + one aggregate: bit i's vote is sum(+-1 per token by
     bit i of h60(token)); the hash reassembles as a sum of CASE terms.
     Token multiplicity is the weight (classic simhash)."""
-    toks = docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("tok")).select(
-        "doc_id", h60(F.col("tok")).alias("hh")
-    )
+    toks = docs.repartition(F.col("doc_id")).select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    ).select("doc_id", h60(F.col("tok")).alias("hh"))
     votes = toks.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -338,7 +347,13 @@ def language_id(docs: DataFrame) -> DataFrame:
     cos(P_lg, c) ordering is decided EXACTLY: dot products and squared
     norms are integers, so lg beats mg iff dot_lg^2 * N_mg >= dot_mg^2
     * N_lg (both dots >= 0) — decimal(38,0) arithmetic, no float ties,
-    identical in the DuckDB oracle (HUGEINT)."""
+    identical in the DuckDB oracle (HUGEINT).
+
+    The dots are staged in their own projection behind a
+    nondeterministic barrier column: codegen does no common-subexpr
+    elimination inside CASE branches, so without the barrier Catalyst
+    re-inlines every dot (9 string scans each) into all 12 comparisons
+    — measured 2.8s → 0.8s at sf0.1 with the barrier."""
     lt = F.lower(F.col("text"))
     counts = {
         ch: (F.length(lt) - F.length(F.replace(lt, F.lit(ch), F.lit("")))) for ch in LANG_LETTERS
@@ -349,12 +364,19 @@ def language_id(docs: DataFrame) -> DataFrame:
         ).cast("decimal(38,0)")
         for lg, prof in _LANG_PROFILES.items()
     }
+    n_alpha = F.length(lt) - F.length(F.regexp_replace(lt, "[a-z]", ""))
+    staged = docs.select(
+        "doc_id",
+        n_alpha.alias("n_alpha"),
+        *[dots[lg].alias(f"d_{lg}") for lg in LANGS],
+        F.spark_partition_id().alias("_barrier"),
+    )
+    d = {lg: F.col(f"d_{lg}") for lg in LANGS}
 
     def ge(x: str, y: str) -> F.Column:
-        return dots[x] * dots[x] * F.lit(LANG_N[y]) >= dots[y] * dots[y] * F.lit(LANG_N[x])
+        return d[x] * d[x] * F.lit(LANG_N[y]) >= d[y] * d[y] * F.lit(LANG_N[x])
 
-    n_alpha = F.length(lt) - F.length(F.regexp_replace(lt, "[a-z]", ""))
-    pred = F.when(n_alpha == 0, F.lit("unknown"))
+    pred = F.when(F.col("n_alpha") == 0, F.lit("unknown"))
     for lg in LANGS[:-1]:
         cond = None
         for mg in LANGS:
@@ -364,7 +386,7 @@ def language_id(docs: DataFrame) -> DataFrame:
             cond = c if cond is None else cond & c
         pred = pred.when(cond, F.lit(lg))
     pred = pred.otherwise(F.lit(LANGS[-1]))
-    return docs.select("doc_id", pred.alias("lang_pred"))
+    return staged.select("doc_id", pred.alias("lang_pred"))
 
 
 def language_id_local(text: str) -> str:
@@ -413,7 +435,9 @@ def fingerprint64(docs: DataFrame) -> DataFrame:
     h60('<1-based position>:<token>').  Permutations, insertions and
     edits all change the fingerprint; pure JVM (posexplode + bit_xor
     aggregate, partial-agg before the shuffle)."""
-    e = docs.select("doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "tok"))
+    e = docs.repartition(F.col("doc_id")).select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "tok")
+    )
     h = h60(F.concat((F.col("pos") + 1).cast("string"), F.lit(":"), F.col("tok")))
     return (
         e.select("doc_id", h.alias("h"))
