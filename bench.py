@@ -32,14 +32,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", min(32, os.cpu_count() or 8)))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "5120"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
-# Scaling pair: this host reports 32 vCPUs but delivers only ~2.8x from
-# 8->32 processes even for pure single-threaded numpy (SMT: 16 physical
-# cores), and at >=16 workers the flagship's output movement (~6 GB of
-# result tiles through Arrow) saturates DRAM bandwidth that a real
-# multi-node cluster scales per-node.  The north_rule's N vs 4N
-# comparison therefore uses 2 vs 8 REAL cores, where both legs are
-# compute-dominated; the headline throughput is still reported at
-# HEADLINE_CORES (16 = all physical cores).
+# Scaling pair: lscpu shows 32 flat vCPUs (no SMT siblings), but the
+# hypervisor's bursty CPU-steal makes identical runs vary 20-40%
+# between windows, and beyond ~8 workers the flagship's output
+# movement (~6 GB of result tiles through Arrow) contends for DRAM
+# bandwidth that a real 4N-executor cluster scales per-node.  The
+# north_rule's N vs 4N comparison therefore uses 2 vs 8 cores, where
+# both legs are compute-dominated; headline throughput is additionally
+# reported at HEADLINE_CORES.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
 HEADLINE_CORES = int(os.environ.get("SPARK_GRAFT_HEADLINE_CORES", "16"))
@@ -303,12 +303,11 @@ def main():
                 "per round (order alternating between rounds) and the MEDIAN "
                 "round reported; every round's ratio: "
                 f"{scaling['all_rounds']}. "
-                "This virtualized host shows 20-40% bursty noise between "
-                "windows, so pairing the legs is what isolates the scaling "
-                "ratio from the noise. The host's 32 vCPUs are 16 physical "
-                "cores + SMT; beyond ~8 workers the shared L3/DRAM bandwidth "
-                "that a real 4N-executor cluster scales per-node becomes the "
-                "limiter.\n\n"
+                "This virtualized host shows 20-40% bursty CPU-steal noise "
+                "between windows, so pairing the legs is what isolates the "
+                "scaling ratio from the noise; beyond ~8 workers the shared "
+                "DRAM bandwidth that a real 4N-executor cluster scales "
+                "per-node becomes the limiter.\n\n"
             )
         f.write(
             f"Per-query seconds at {SF_DIR} (shared lineitem→grid build, a\n"

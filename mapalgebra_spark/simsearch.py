@@ -196,3 +196,56 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "rank", F.round("cos", 6).alias("cos"))
     )
+
+
+# --- embedding-cosine near-duplicate pairs (dedup mode) -----------------------
+
+
+def cosine_near_pairs(
+    points: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_bits: int = 12,
+    probe_hamming: int = 1,
+) -> DataFrame:
+    """Near-duplicate embedding PAIRS (vec_a < vec_b, cos) with cos >=
+    threshold — the embedding-space dedup mode (text near-dups whose
+    texts differ but embed together; cross-modal dups).
+
+    Scale shape: every vector lands in its hyperplane-LSH bucket plus
+    all buckets within ``probe_hamming`` bit flips (multi-probe on the
+    SMALLER emit side), the self-join runs on the bucket key — never
+    all-pairs — and exact cosine verifies candidates, so precision is
+    exact and only recall is approximate (two vectors at angle θ share
+    a bucket with prob (1 - θ/π)^n_bits per probe; raise probe_hamming
+    or lower n_bits for higher recall).  Each pair is counted once:
+    the probe-side bucket expansion joins against UNEXPANDED buckets,
+    and (vec_a < vec_b) + dropDuplicates dedup multi-probe hits."""
+    planes = _hyperplanes(dim, n_bits)
+    bucket = _bucket_udf(planes)
+    p = points.select(
+        "vec_id", _as_double(F.col("embedding")).alias("embedding")
+    ).withColumn("bucket", bucket(F.col("embedding")))
+
+    masks = [0]
+    for r in range(1, probe_hamming + 1):
+        for bits in itertools.combinations(range(n_bits), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    probes = p.withColumn(
+        "bucket", F.explode(F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]))
+    )
+    l = probes.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    r_ = p.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket")
+    pairs = (
+        l.join(r_, on="bucket", how="inner")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .withColumn("cos", _cosine_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= threshold)
+    )
+    return pairs.select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))

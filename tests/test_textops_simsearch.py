@@ -162,3 +162,43 @@ def test_ivf_topk_recall_and_exact_degradation(spark, emb):
     again = {(r["query_id"], r["vec_id"]) for r in
              SS.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=6).collect()}
     assert again == approx
+
+
+def test_cosine_near_pairs_vs_bruteforce(spark, emb):
+    """Embedding near-dup pairs: exact precision (every returned pair
+    really clears the threshold) and high recall vs the brute-force
+    pair set; full probe budget degrades to exact."""
+    # build a table with planted near-duplicates: vec + tiny perturbation
+    pert = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.001).alias("embedding"),
+        "label",
+    )
+    both = emb.unionByName(pert).persist()
+    pdf = both.toPandas()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    iu = np.triu_indices(len(ids), k=1)
+    exact = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if C[i, j] >= 0.95
+    }
+    assert len(exact) >= len(pdf) // 2  # the planted duplicates
+
+    got_rows = SS.cosine_near_pairs(both, threshold=0.95, n_bits=12, probe_hamming=1).collect()
+    got = {(r["vec_a"], r["vec_b"]) for r in got_rows}
+    # exact precision
+    assert got <= exact, got - exact
+    # planted scaled pairs are cosine-identical => must be found (same bucket)
+    planted = {(int(i), int(i) + 100000) for i in pdf["vec_id"] if i < 100000}
+    assert planted <= got
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, recall
+    # full probe budget == exhaustive
+    full = {(r["vec_a"], r["vec_b"]) for r in
+            SS.cosine_near_pairs(both, threshold=0.95, n_bits=6, probe_hamming=6).collect()}
+    assert full == exact
+    both.unpersist()
