@@ -202,3 +202,37 @@ def test_cosine_near_pairs_vs_bruteforce(spark, emb):
             SS.cosine_near_pairs(both, threshold=0.95, n_bits=6, probe_hamming=6).collect()}
     assert full == exact
     both.unpersist()
+
+
+def test_textops_local_references_match_spark(spark):
+    """Property parity: the Python reference implementations (used as
+    local oracles) match the JVM column pipelines on adversarial token
+    strings — single token, sub-shingle lengths, repeated tokens,
+    punctuation, mixed case, digits."""
+    texts = [
+        "a",
+        "a b",
+        "a b c",
+        "tok tok tok tok",
+        "The quick brown FOX jumps over 42 lazy dogs!!",
+        "x " * 50 + "y",
+        "der schnelle braune fuchs springt",
+        "el zorro marron rapido salta sobre el perro",
+        "1 2 3 4 5 6 7 8 9 10",
+    ]
+    import pandas as pd
+
+    d = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    sh = {r["doc_id"]: r["simhash"] for r in TX.simhash_df(d).collect()}
+    fp = {r["doc_id"]: r["fingerprint"] for r in TX.fingerprint64(d).collect()}
+    lg = {r["doc_id"]: r["lang_pred"] for r in TX.language_id(d).collect()}
+    sigs = {r["doc_id"]: [r[f"m{i}"] for i in range(TX.N_HASHES)]
+            for r in TX.minhash_signatures(d).collect()}
+    for i, t in enumerate(texts):
+        assert sh[i] == TX.simhash_local(t), ("simhash", t)
+        assert fp[i] == TX.fingerprint_local(t), ("fingerprint", t)
+        assert lg[i] == TX.language_id_local(t), ("lang_id", t, lg[i])
+        exp_sig = TX.minhash_signature_local(TX.shingle_hashes_local(t))
+        assert sigs[i] == [int(x) for x in exp_sig], ("minhash", t)
