@@ -351,8 +351,9 @@ def q_frank(spark, sf_dir):
 
 
 def q_finsularity(spark, sf_dir):
-    # GaCM Focal Insularity — rows-only check: 4-connected clump
-    # counting is not reasonably SQL (validated vs union-find in tests)
+    # GaCM Focal Insularity — the 3x3 window's clump count is a pure
+    # function of its 12 adjacency-equality bits, so the oracle is a
+    # 4096-entry union-find LUT joined on the bitmask
     return _focal_rows(spark, sf_dir, "finsularity", "fins", col="ival", dtype="int64")
 
 
@@ -938,6 +939,56 @@ SELECT gy, gx,
 FROM bits
 """
 
+# finsularity: 4-connected clump counting looks iterative, but the 3x3
+# window has a FIXED topology — 9 slots, 12 adjacency edges — so the
+# component count is a pure function of the 12 equality bits: a
+# 4096-entry lookup table (union-find evaluated here, at SQL-build
+# time) joined on the bitmask.  Mirrors kernels.k_finsularity exactly.
+
+
+def _insularity_lut_sql() -> str:
+    from .kernels import _INSULARITY_EDGES
+
+    rows = []
+    for mask in range(1 << len(_INSULARITY_EDGES)):
+        parent = list(range(9))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for k, (i, j) in enumerate(_INSULARITY_EDGES):
+            if mask >> k & 1:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+        n = sum(1 for i in range(9) if find(i) == i)
+        rows.append(f"({mask},{n})")
+    return "lut(mask, cnt) AS (VALUES " + ",".join(rows) + ")"
+
+
+def _insularity_mask_sql() -> str:
+    from .kernels import _INSULARITY_EDGES
+
+    slots = ["nw", "no", "ne", "we", "fo", "ea", "sw", "so", "se"]
+    terms = [
+        f"(CASE WHEN {slots[i]} = {slots[j]} THEN {1 << k} ELSE 0 END)"
+        for k, (i, j) in enumerate(_INSULARITY_EDGES)
+    ]
+    return " + ".join(terms)
+
+
+ORACLE["finsularity_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nb AS ({_pivot9(_JOIN_INNER, "ival")}),
+{_insularity_lut_sql()},
+masked AS (SELECT gy, gx, {_insularity_mask_sql()} AS mask FROM nb)
+SELECT m.gy, m.gx, CAST(l.cnt AS DOUBLE) AS fins
+FROM masked m JOIN lut l ON l.mask = m.mask
+"""
+
 # fdownstream: the reference's order-dependent tolerance fold
 # (kernels.k_fdownstream, MA:1232-1248) as a CASE-cascade CTE chain —
 # same facet association order, same APPROX_TOL literal, same
@@ -1287,9 +1338,9 @@ FROM tokf GROUP BY doc_id
 # Registry ORDER matters: the round-1 driver validated exactly the
 # FIRST 50 entries (CORRECTNESS_r01 = positions 1-50 of this dict in
 # insertion order), so the first 50 slots hold one query per DISTINCT
-# operator — 49 with exact DuckDB oracles + finsularity (rows-only:
-# connected-component counting is genuinely iterative, validated
-# against union-find in tests).  Positions 51+ are parameter VARIANTS
+# operator — ALL 50 with exact DuckDB oracles (finsularity's clump
+# count folds to a 4096-entry LUT over the window's 12 equality bits).
+# Positions 51+ are parameter VARIANTS
 # of already-hash-validated base ops (radius-2, NoData, extra histogram
 # binnings, a quality-scores subset); they stay registered — bench.py
 # times them and tests/test_oracle_pairs.py hash-checks them locally —
@@ -1321,7 +1372,7 @@ QUERIES = {
     "fpercentage_grid": q_fpercentage,
     "fpercentile_grid": q_fpercentile,
     "frank_grid": q_frank,
-    "finsularity_grid": q_finsularity,  # rows-only (iterative clumping)
+    "finsularity_grid": q_finsularity,
     "upsample_nearest_grid": q_upsample_nearest,
     "upsample_bilinear_grid": q_upsample_bilinear,
     # surficial / lineal
