@@ -243,7 +243,7 @@ def main():
         # recorded in BASELINE.md (best-of selection of a noisy ratio is
         # upward-biased — round-1 advisor finding).
         rounds = []
-        n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "5"))
+        n_rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "7"))
         # the hi leg's runs are ~4x cheaper, so it gets more in-window
         # draws: its best-of is what the steal-noise bursts distort
         # (the lo leg's ~20s runs average over bursts and sit within
