@@ -161,3 +161,59 @@ def test_write_image_auto_roundtrip(spark, tmp_path):
             open(p, "rb").read(), {"tif": "tiff"}.get(ext, ext), 96, 96
         )
         np.testing.assert_array_equal(back, pix)
+
+
+# --- property tests -----------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        spp=st.sampled_from([1, 3, 4]),
+        comp=st.sampled_from([TF.COMP_NONE, TF.COMP_PACKBITS, TF.COMP_LZW]),
+        rps=st.integers(1, 41),
+        seed=st.integers(0, 2**31),
+    )
+    def test_tiff_roundtrip_property(h, w, spp, comp, rps, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if spp == 1 else (h, w, spp)
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        data = TF.tiff_encode(a, compression=comp, rows_per_strip=min(rps, h))
+        np.testing.assert_array_equal(TF.tiff_decode(data), a)
+
+    @settings(max_examples=15, deadline=None)
+    @given(seed=st.integers(0, 2**31), n=st.integers(0, 3000))
+    def test_lzw_roundtrip_property(seed, n):
+        data = np.random.default_rng(seed).integers(0, 8, size=n, dtype=np.uint8).tobytes()
+        assert TF.lzw_decode(TF.lzw_encode(data), n) == data
+
+except ImportError:  # hypothesis is baked into this env; belt-and-braces
+    pass
+
+
+def test_tiff_malformed_inputs_fail_fast():
+    good = TF.tiff_encode(_gray512()[:16, :16])
+    with pytest.raises(ValueError, match="byte-order"):
+        TF.tiff_decode(b"XX" + good[2:])
+    with pytest.raises(ValueError, match="magic"):
+        TF.tiff_decode(b"II\x00\x00" + good[4:])
+    # 16-bit samples are out of scope and must say so, not misdecode
+    bad_bps = bytearray(good)
+    # find the BITSPERSAMPLE entry (tag 258) in the IFD and bump 8 -> 16
+    import struct as _s
+
+    ifd_off = _s.unpack("<I", good[4:8])[0]
+    n = _s.unpack("<H", good[ifd_off : ifd_off + 2])[0]
+    for i in range(n):
+        off = ifd_off + 2 + 12 * i
+        if _s.unpack("<H", good[off : off + 2])[0] == 258:
+            bad_bps[off + 8] = 16
+    with pytest.raises(ValueError, match="8-bit"):
+        TF.tiff_decode(bytes(bad_bps))
+    # truncated pixel data: uncompressed strip shorter than declared
+    with pytest.raises(Exception):
+        TF.tiff_decode(good[: len(good) // 2])
