@@ -121,19 +121,38 @@ def _minhash_params(seed: int = 42):
 MH_A, MH_B = _minhash_params()
 
 
-def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, m0..m63): 64 min-hashes as 64 partial-aggregated
-    ``min`` expressions over the exploded shingle hashes — one shuffle,
-    whole-stage codegen, no Python."""
-    assert k == SHINGLE_K, "shingle width is baked into SHINGLES_SQL"
-    sh = shingle_hashes(docs, distinct=False)
-    aggs = [
-        F.min((F.lit(int(MH_A[i])) * F.col("hh") + F.lit(int(MH_B[i]))) % F.lit(P31)).alias(
-            f"m{i}"
-        )
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, hs) — the distinct shingle-hash SET per document, as one
+    collect_set aggregate.  Shared upstream of both signature
+    computation and exact-Jaccard verification so the corpus is hashed
+    once."""
+    return (
+        shingle_hashes(docs, distinct=False)
+        .groupBy("doc_id")
+        .agg(F.collect_set("hh").alias("hs"))
+    )
+
+
+def _signature_cols(hs) -> list:
+    """The 64 min-hash columns from a shingle-hash-set array column —
+    pure expressions (array_min over transform), no extra shuffle.
+    min over the SET == min over the exploded multiset, so this matches
+    the DuckDB oracle's grouped-min formulation exactly."""
+    return [
+        F.array_min(
+            F.transform(hs, lambda x: (F.lit(int(MH_A[i])) * x + F.lit(int(MH_B[i]))) % P31)
+        ).alias(f"m{i}")
         for i in range(N_HASHES)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_signatures(docs: DataFrame, k: int = SHINGLE_K, sets: DataFrame | None = None) -> DataFrame:
+    """(doc_id, m0..m63): 64 min-hashes — one collect_set shuffle, then
+    64 array_min/transform column expressions; whole-stage codegen, no
+    Python.  Pass ``sets`` to reuse an already-built shingle_sets."""
+    assert k == SHINGLE_K, "shingle width is baked into SHINGLES_SQL"
+    s = sets if sets is not None else shingle_sets(docs)
+    return s.select("doc_id", *_signature_cols(F.col("hs")))
 
 
 def minhash_signature_local(hh: np.ndarray) -> np.ndarray:
@@ -199,8 +218,11 @@ def _est_jaccard() -> F.Column:
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7, k: int = SHINGLE_K) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard) via banded LSH.
     Deterministic end-to-end (md5 hashes + fixed permutation constants)
-    — the DuckDB oracle recomputes the identical pipeline."""
-    pairs = _lsh_candidates(minhash_signatures(docs, k))
+    — the DuckDB oracle recomputes the identical pipeline.  The shingle
+    sets are persisted: the band self-join references the signature
+    pipeline on BOTH sides, and without the persist Spark recomputes
+    the whole hash stage twice (no subplan sharing across a self-join)."""
+    pairs = _lsh_candidates(minhash_signatures(docs, k, sets=shingle_sets(docs).persist()))
     est = pairs.withColumn("est_jaccard", _est_jaccard())
     return est.filter(F.col("est_jaccard") >= threshold).select(
         "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
@@ -216,15 +238,17 @@ def ngram_jaccard_pairs(
     prefilter_eps`` so a skewed band bucket can't explode into a
     quadratic exact-verify stage; the Jaccard itself is
     array_intersect/array_union over DISTINCT shingle-hash sets — all
-    JVM, no per-row Python."""
-    sigs = minhash_signatures(docs, k)
+    JVM, no per-row Python.  The shingle sets are built ONCE and
+    persisted for the plan's three uses (signatures + both join sides)
+    instead of re-hashing the corpus per use."""
+    sets = shingle_sets(docs).persist()
+    sigs = minhash_signatures(docs, k, sets=sets)
     cand = (
         _lsh_candidates(sigs)
         .withColumn("est", _est_jaccard())
         .filter(F.col("est") >= threshold - prefilter_eps)
         .select("doc_a", "doc_b")
     )
-    sets = shingle_hashes(docs).groupBy("doc_id").agg(F.collect_set("hh").alias("hs"))
     j = (
         cand.join(
             sets.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a")), on="doc_a"
@@ -284,8 +308,10 @@ def simhash_local(text: str) -> int:
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, bucketed on 15-bit
     chunks (a pair within hamming<=3 of 4 chunks shares at least one
-    exact chunk; larger budgets make this a recall-oriented filter)."""
-    s = simhash_df(docs)
+    exact chunk; larger budgets make this a recall-oriented filter).
+    The simhash base is persisted: the chunk self-join would otherwise
+    recompute the token-hash aggregate on both sides."""
+    s = simhash_df(docs).persist()
     chunks = s.select(
         "doc_id",
         "simhash",
