@@ -86,13 +86,21 @@ def run_flagship_subprocess(cores: int, img_path: str, runs: int = 3) -> dict:
     matching the 'two cluster sizes' semantics of the north_rule."""
     import subprocess
 
+    timeout = int(os.environ.get("SPARK_GRAFT_LEG_TIMEOUT", "600"))
     last_err = None
     for _attempt in range(2):  # one retry: worker socket resets are transient
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship", str(cores), img_path,
-             str(runs)],
-            capture_output=True, text=True, timeout=1800,
-        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship", str(cores),
+                 img_path, str(runs)],
+                capture_output=True, text=True, timeout=timeout,
+            )
+        except subprocess.TimeoutExpired:
+            # a leg occasionally HANGS (observed: Spark/py4j shutdown
+            # deadlock in local mode) — kill and retry, never let one
+            # hung leg take down the whole bench
+            last_err = f"leg hung > {timeout}s (killed)"
+            continue
         if out.returncode == 0:
             return json.loads(out.stdout.strip().splitlines()[-1])
         last_err = out.stderr[-2000:]
@@ -173,7 +181,14 @@ def run_flagship(cores: int, img_path: str, runs: int = 3) -> dict:
             best = dt if best is None else min(best, dt)
         return {"cores": cores, "tiles": n_tiles, "sec": best, "tps": n_tiles / best}
     finally:
-        spark.stop()
+        # stop() via a watchdog thread: JVM teardown occasionally
+        # deadlocks in local mode; an abandoned daemon stop is
+        # reaped by the JVM's stdin-EOF watcher at process exit
+        import threading
+
+        stopper = threading.Thread(target=spark.stop, daemon=True)
+        stopper.start()
+        stopper.join(20)
 
 
 #: deliberately-exact oracle baselines — all-pairs by construction; the
@@ -218,8 +233,10 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
 def main():
     if len(sys.argv) >= 4 and sys.argv[1] == "--flagship":
         runs = int(sys.argv[4]) if len(sys.argv) >= 5 else 3
-        print(json.dumps(run_flagship(int(sys.argv[2]), sys.argv[3], runs=runs)))
-        return
+        print(json.dumps(run_flagship(int(sys.argv[2]), sys.argv[3], runs=runs)), flush=True)
+        # measurements are complete and printed; JVM teardown sometimes
+        # deadlocks in local mode — never let it eat the leg's output
+        os._exit(0)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     img_path = ensure_tiles(N_IMAGES)
 
@@ -251,13 +268,19 @@ def main():
         lo_runs = int(os.environ.get("SPARK_GRAFT_LO_RUNS", "3"))
         hi_runs = int(os.environ.get("SPARK_GRAFT_HI_RUNS", "6"))
         for i in range(n_rounds):
-            if i % 2 == 0:
-                lo = run_flagship_subprocess(SCALE_LOW, img_path, runs=lo_runs)
-                hi = run_flagship_subprocess(SCALE_HIGH, img_path, runs=hi_runs)
-            else:
-                hi = run_flagship_subprocess(SCALE_HIGH, img_path, runs=hi_runs)
-                lo = run_flagship_subprocess(SCALE_LOW, img_path, runs=lo_runs)
+            try:
+                if i % 2 == 0:
+                    lo = run_flagship_subprocess(SCALE_LOW, img_path, runs=lo_runs)
+                    hi = run_flagship_subprocess(SCALE_HIGH, img_path, runs=hi_runs)
+                else:
+                    hi = run_flagship_subprocess(SCALE_HIGH, img_path, runs=hi_runs)
+                    lo = run_flagship_subprocess(SCALE_LOW, img_path, runs=lo_runs)
+            except RuntimeError as ex:
+                print(f"scaling round {i} dropped: {ex}", file=sys.stderr)
+                continue
             rounds.append((lo, hi, (hi["tps"] / lo["tps"]) / (SCALE_HIGH / SCALE_LOW)))
+        if not rounds:
+            raise RuntimeError("every scaling round failed")
         rounds_by_eff = sorted(rounds, key=lambda r: r[2])
         lo, hi, eff = rounds_by_eff[len(rounds_by_eff) // 2]  # median round
         scaling = {
