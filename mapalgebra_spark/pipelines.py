@@ -1,0 +1,97 @@
+"""End-to-end training-data preparation: the dedup / quality / language
+stages composed into ONE checkpoint-resumable lineage.Job — what a
+100 TB corpus pipeline actually runs, not just the per-operator pieces.
+
+Stage graph (each snapshot-committed; re-runs resume after the last
+committed stage):
+
+  docs        — source document table
+  exact_dedup — md5 groupBy, keep the smallest doc_id per byte-identical
+                text (hash agg; shuffle carries fingerprints, not text)
+  near_dedup  — MinHash banded-LSH pairs at ``near_threshold``; a doc is
+                dropped iff it is a near-duplicate of a SMALLER-id doc
+                (anti-join against the pair table's doc_b side).  The
+                component minimum never appears as a doc_b (pairs are
+                oriented doc_a < doc_b), so every similarity cluster
+                keeps its smallest member — deterministic, one
+                anti-join, no iterative clustering.
+  filtered    — quality + language gates (all JVM expressions):
+                stopword_ratio, nonalpha_ratio, token count bounds,
+                predicted language in ``keep_langs``.
+
+Each stage's row counts land in the job's metrics table, so the
+retention funnel (raw → exact → near → filtered) is queryable — the
+number a data-curation run actually reports.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .lineage import Job
+
+
+def build_prepare_job(
+    spark: SparkSession,
+    docs_path: str,
+    out: str,
+    job_id: str = "prepare",
+    near_threshold: float = 0.7,
+    keep_langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+    min_tokens: int = 3,
+    max_tokens: int = 100_000,
+    max_nonalpha: float = 0.6,
+) -> Job:
+    from . import textops as TX
+
+    job = Job(spark, out, job_id)
+
+    @job.stage("docs")
+    def docs(spark, _):
+        return spark.read.parquet(docs_path)
+
+    @job.stage("exact_dedup", inputs=["docs"])
+    def exact_dedup(spark, ins):
+        d = ins["docs"]
+        keep = d.groupBy(F.md5("text").alias("fp")).agg(F.min("doc_id").alias("doc_id"))
+        return d.join(keep.select("doc_id"), on="doc_id", how="inner")
+
+    @job.stage("near_dedup", inputs=["exact_dedup"])
+    def near_dedup(spark, ins):
+        d = ins["exact_dedup"]
+        pairs = TX.minhash_lsh_pairs(d, threshold=near_threshold)
+        dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        return d.join(dupes, on="doc_id", how="left_anti")
+
+    @job.stage("filtered", inputs=["near_dedup"])
+    def filtered(spark, ins):
+        d = ins["near_dedup"]
+        q = TX.quality_scores(d).select(
+            "doc_id", "n_tokens", "nonalpha_ratio"
+        )
+        lg = TX.language_id(d)
+        return (
+            d.join(q, on="doc_id")
+            .join(lg, on="doc_id")
+            .filter(
+                (F.col("n_tokens") >= min_tokens)
+                & (F.col("n_tokens") <= max_tokens)
+                & (F.col("nonalpha_ratio") <= max_nonalpha)
+                & F.col("lang_pred").isin(*keep_langs)
+            )
+            .drop("n_tokens", "nonalpha_ratio")
+        )
+
+    return job
+
+
+def retention_funnel(spark: SparkSession, out: str, job_id: str) -> DataFrame:
+    """(stage, rows) from the job's metrics table — the curation
+    funnel raw → exact_dedup → near_dedup → filtered."""
+    m = spark.read.parquet(f"{out}/metrics")
+    return (
+        m.filter((F.col("job_id") == job_id) & (F.col("status") == "ok"))
+        .select("stage", "rows")
+        .orderBy("stage")
+    )

@@ -1,0 +1,69 @@
+"""The composed training-data preparation job: dedup (exact + near) →
+quality/language gates, snapshot-committed per stage, resumable, with a
+queryable retention funnel."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapalgebra_spark.pipelines import build_prepare_job, retention_funnel
+
+pytestmark = pytest.mark.spark
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def dirty_docs(spark, tmp_path):
+    """Base docs + exact dups + near dups + junk rows, written to parquet."""
+    base = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    exact = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    near = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+        "lang", "source", "n_chars",
+    )
+    junk = spark.createDataFrame(
+        [(300000, "@@ ## !!", "en", "junk", 8), (300001, "a b", "en", "junk", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs.parquet")
+    base.unionByName(exact).unionByName(near).unionByName(junk).write.parquet(path)
+    return path
+
+
+def test_prepare_pipeline_end_to_end_and_resume(spark, dirty_docs, tmp_path):
+    out = str(tmp_path / "job")
+    job = build_prepare_job(
+        spark, dirty_docs, out, job_id="prep1", near_threshold=0.7
+    )
+    outs = job.run()
+    final = outs["filtered"]
+    ids = {r["doc_id"] for r in final.select("doc_id").collect()}
+
+    # exact duplicates: the +100000 copies are gone, originals kept
+    assert not any(i >= 100000 and i < 200000 for i in ids)
+    for i in range(5):
+        assert i in ids
+    # near duplicates (appended tail): dropped in favour of smaller ids
+    near_kept = [i for i in ids if 200000 <= i < 300000]
+    assert len(near_kept) <= 1, near_kept
+    # junk rows: too few tokens / too much non-alpha
+    assert 300000 not in ids and 300001 not in ids
+
+    # funnel is monotone decreasing and lands in the metrics table
+    funnel = {r["stage"]: r["rows"] for r in retention_funnel(spark, out, "prep1").collect()}
+    assert funnel["docs"] >= funnel["exact_dedup"] >= funnel["near_dedup"] >= funnel["filtered"]
+    assert funnel["exact_dedup"] == funnel["docs"] - 5
+
+    # resume: a second run recomputes nothing (no new snapshots)
+    snaps = os.path.join(out, "snapshots")
+    before = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
+    job2 = build_prepare_job(spark, dirty_docs, out, job_id="prep1")
+    outs2 = job2.run()
+    after = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
+    assert after == before
+    assert outs2["filtered"].count() == len(ids)
