@@ -95,3 +95,83 @@ def retention_funnel(spark: SparkSession, out: str, job_id: str) -> DataFrame:
         .select("stage", "rows")
         .orderBy("stage")
     )
+
+
+def build_prepare_images_job(
+    spark: SparkSession,
+    images_path: str,
+    out: str,
+    job_id: str = "prepare_images",
+    max_hamming: int = 6,
+    thumb_size: int = 32,
+    min_std: float = 4.0,
+) -> Job:
+    """The image-payload curation analog of :func:`build_prepare_job`:
+
+      images     — source image+caption table (input_hint schema)
+      thumbs     — decode once → block-mean thumbnails + perceptual hash
+                   (one Arrow stage; pixels never leave it again)
+      near_dedup — phash-hamming pairs (chunk-bucketed, never a cross
+                   join); an image drops iff it near-duplicates a
+                   lexicographically-smaller image_id (pairs are
+                   oriented id_a < id_b, so every visual cluster keeps
+                   its smallest member via one anti-join)
+      filtered   — quality gate on thumbnail statistics: near-flat
+                   images (pixel stddev < ``min_std``) are culled —
+                   decode-free because the gate reads the tiny thumbs.
+
+    Dedup + quality run on THUMBNAILS (32x32 = 1/256 of the source
+    bytes): at 100 TB the full-resolution bytes are read exactly once,
+    in the thumbs stage."""
+    from . import imageops as IO
+
+    job = Job(spark, out, job_id)
+
+    @job.stage("images")
+    def images(spark, _):
+        return spark.read.parquet(images_path)
+
+    @job.stage("thumbs", inputs=["images"])
+    def thumbs(spark, ins):
+        return IO.thumbnails(ins["images"], size=thumb_size)
+
+    @job.stage("near_dedup", inputs=["images", "thumbs"])
+    def near_dedup(spark, ins):
+        pairs = IO.phash_near_pairs(
+            ins["thumbs"].select("image_id", "phash"), max_hamming=max_hamming
+        )
+        dupes = pairs.select(F.col("img_b").alias("image_id")).distinct()
+        return ins["images"].join(dupes, on="image_id", how="left_anti")
+
+    @job.stage("filtered", inputs=["near_dedup", "thumbs"])
+    def filtered(spark, ins):
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        stat_schema = T.StructType(
+            [
+                T.StructField("image_id", T.StringType()),
+                T.StructField("pix_std", T.DoubleType()),
+            ]
+        )
+
+        def stats(batches):
+            for pdf in batches:
+                ids, stds = [], []
+                for r in range(len(pdf)):
+                    row = pdf.iloc[r]
+                    t = np.frombuffer(row["thumb"], dtype=np.uint8)
+                    ids.append(row["image_id"])
+                    stds.append(float(t.astype(np.float64).std()))
+                yield pd.DataFrame({"image_id": ids, "pix_std": stds})
+
+        q = ins["thumbs"].select("image_id", "thumb").mapInPandas(stats, stat_schema)
+        return (
+            ins["near_dedup"]
+            .join(q, on="image_id")
+            .filter(F.col("pix_std") >= min_std)
+            .drop("pix_std")
+        )
+
+    return job

@@ -67,3 +67,41 @@ def test_prepare_pipeline_end_to_end_and_resume(spark, dirty_docs, tmp_path):
     after = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
     assert after == before
     assert outs2["filtered"].count() == len(ids)
+
+
+def test_prepare_images_pipeline(spark, tmp_path):
+    """Image curation: planted visual near-duplicates are deduped on
+    thumbnails, flat images culled, and the job resumes."""
+    import numpy as np
+    import pandas as pd
+
+    from mapalgebra_spark import codecs
+    from mapalgebra_spark.datagen import generate_images_df
+    from mapalgebra_spark.pipelines import build_prepare_images_job
+
+    base = generate_images_df(spark, 12).toPandas()
+    # plant: a byte-identical copy of image 0 and a flat gray junk image
+    dup = base.iloc[0].copy()
+    dup["image_id"] = "zzz_dup_of_first"  # larger id → it is the one dropped
+    flat = dup.copy()
+    flat["image_id"] = "zzz_flat"
+    flat_pix = np.full((64, 64), 128, dtype=np.uint8)
+    flat["bytes"] = codecs.encode_image(flat_pix, "png")
+    flat["w"], flat["h"], flat["fmt"] = 64, 64, "png"
+    pdf = pd.concat([base, pd.DataFrame([dup, flat])], ignore_index=True)
+    path = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    out = str(tmp_path / "job")
+    job = build_prepare_images_job(spark, path, out, job_id="imgprep", max_hamming=2)
+    outs = job.run()
+    ids = {r["image_id"] for r in outs["filtered"].select("image_id").collect()}
+    assert base.iloc[0]["image_id"] in ids  # original survives
+    assert "zzz_dup_of_first" not in ids  # visual duplicate dropped
+    assert "zzz_flat" not in ids  # flat junk culled
+    # resume leaves snapshots untouched
+    snaps = os.path.join(out, "snapshots")
+    before = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
+    build_prepare_images_job(spark, path, out, job_id="imgprep", max_hamming=2).run()
+    after = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
+    assert after == before
