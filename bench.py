@@ -221,10 +221,21 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
         grid_to_tiles(g, G, "val", "float64", "warmup").df.count()
         grid_build = round(time.perf_counter() - t0, 3)
         qs = E.queries()
+        grid_cache = {r for r in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()}
         for name in sorted(qs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
+            # operators persist() their self-join bases (textops/knn);
+            # left cached they accumulate across the 58 queries and
+            # pollute later timings — drop everything except the
+            # pre-built grid
+            for rid in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray():
+                if rid not in grid_cache:
+                    try:
+                        spark.sparkContext._jsc.getPersistentRDDs().get(rid).unpersist(False)
+                    except Exception:
+                        pass
     finally:
         spark.stop()
     return times, grid_build
@@ -247,7 +258,13 @@ def main():
         rs = [run_flagship_subprocess(cores, img_path) for _ in range(reps)]
         return max(rs, key=lambda r: r["tps"])
 
-    full = best(HEADLINE_CORES, 1)
+    try:
+        full = best(HEADLINE_CORES, 1)
+    except RuntimeError as ex:
+        # the headline leg gets the same resilience as the scaling legs:
+        # a hung/twice-failed leg falls back to the best scaling hi leg
+        print(f"headline leg dropped: {ex}", file=sys.stderr)
+        full = None
     if SKIP_SCALING:
         scaling = None
     else:
@@ -282,7 +299,15 @@ def main():
         if not rounds:
             raise RuntimeError("every scaling round failed")
         rounds_by_eff = sorted(rounds, key=lambda r: r[2])
-        lo, hi, eff = rounds_by_eff[len(rounds_by_eff) // 2]  # median round
+        n = len(rounds_by_eff)
+        if n % 2 == 1:
+            lo, hi, eff = rounds_by_eff[n // 2]  # true median round
+        else:
+            # even count (a round was dropped): average the two middle
+            # ratios — picking the upper-middle would be upward-biased
+            a, bb = rounds_by_eff[n // 2 - 1], rounds_by_eff[n // 2]
+            eff = (a[2] + bb[2]) / 2.0
+            lo, hi = a[0], a[1]  # display the conservative round's legs
         scaling = {
             "low": lo,
             "high": hi,
@@ -294,8 +319,11 @@ def main():
         # headline row stays labeled with ITS core count — never
         # overwriting the scaling-leg rows (r1 table regression).
         best_hi = max((r[1] for r in rounds), key=lambda r: r["tps"])
-        if best_hi["tps"] > full["tps"]:
+        if full is None or best_hi["tps"] > full["tps"]:
             full = dict(best_hi)
+
+    if full is None:
+        raise RuntimeError("headline leg failed and no scaling legs ran")
 
     qtimes, grid_build = run_queries(SF_DIR)
 

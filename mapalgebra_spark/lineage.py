@@ -3,7 +3,7 @@ tables (BASELINE.json north_rule).
 
 An engine ``Job`` is a DAG of named stages, each a function
 ``(spark, inputs: dict[str, DataFrame]) -> DataFrame``.  Every stage's
-output is written to ``<root>/snapshots/<stage>/snap-*`` as Parquet via an
+output is written to ``<root>/snapshots/<job_id>/<stage>/snap-*`` via an
 Iceberg-style catalog (catalog.py: snapshot log + schema + row counts —
 plain Parquet underneath since the sandbox has no Iceberg jars, behind
 an abstraction where a real catalog slots in).
@@ -48,6 +48,13 @@ class Job:
         self.catalog = Catalog(root)
         self.stages: list[Stage] = []
 
+    def _table(self, stage: str) -> str:
+        """Catalog key for a stage — namespaced by job_id so two
+        different jobs sharing one root can NEVER cross-read each
+        other's committed snapshots (two pipelines both naming a stage
+        'filtered' would otherwise resume from each other's data)."""
+        return f"{self.job_id}.{stage}"
+
     def stage(self, name: str, inputs: list[str] | None = None):
         def deco(fn):
             self.stages.append(Stage(name, fn, inputs or []))
@@ -91,7 +98,7 @@ class Job:
 
         outputs: dict[str, DataFrame] = {}
         for st in self.stages:
-            snap = self.catalog.current_snapshot(st.name)
+            snap = self.catalog.current_snapshot(self._table(st.name))
             if resume and snap is not None:
                 outputs[st.name] = self.spark.read.parquet(snap["data_path"])
                 self._record_metrics(st.name, 0.0, snap["row_count"], snap["n_files"], "skipped")
@@ -106,7 +113,8 @@ class Job:
             # flat parquet dir: a non key=value subdir inside a dataset
             # breaks partition discovery on legacy data_path reads)
             out_path = os.path.join(
-                self.root, "snapshots", st.name, f"snap-{uuid.uuid4().hex[:12]}"
+                self.root, "snapshots", self.job_id, st.name,
+                f"snap-{uuid.uuid4().hex[:12]}"
             )
             df = st.fn(self.spark, {k: outputs[k] for k in st.inputs})
             df.write.mode("errorifexists").parquet(out_path)
@@ -114,7 +122,7 @@ class Job:
             rows = back.count()
             nparts = back.rdd.getNumPartitions()
             # commit AFTER a fully successful write → resume-safe
-            self.catalog.commit_snapshot(st.name, out_path, back.schema.json(), rows)
+            self.catalog.commit_snapshot(self._table(st.name), out_path, back.schema.json(), rows)
             self._record_lineage(st.name, out_path)
             self._record_metrics(st.name, time.perf_counter() - t0, rows, nparts, "ok")
             outputs[st.name] = back
@@ -124,12 +132,12 @@ class Job:
         """Time travel: read a stage's output at a given snapshot
         (default: the current one)."""
         if snapshot_id is None:
-            snap = self.catalog.current_snapshot(stage)
+            snap = self.catalog.current_snapshot(self._table(stage))
             if snap is None:
                 raise KeyError(f"no committed snapshot for stage {stage!r}")
         else:
             matches = [
-                s for s in self.catalog.snapshots(stage) if s["snapshot_id"] == snapshot_id
+                s for s in self.catalog.snapshots(self._table(stage)) if s["snapshot_id"] == snapshot_id
             ]
             if not matches:
                 raise KeyError(f"snapshot {snapshot_id!r} not found for {stage!r}")

@@ -272,12 +272,25 @@ def write_image(tr: TileRaster, raster_id: str, path: str) -> None:
     fmt = {"png": "png", "tif": "tiff", "tiff": "tiff", "npy": "npy", "raw": "raw"}.get(ext)
     if fmt is None:
         raise ValueError(f"writeImage: unknown extension .{ext}")
-    if fmt == "tiff":
-        from ..tiff import COMP_LZW, tiff_encode
+    if fmt in ("png", "tiff"):
+        # 8-bit formats: refuse to silently crush other dtypes — the
+        # caller colorizes/quantizes first (like the reference, whose
+        # writeImage takes Pixel Word8 rasters)
+        if arr.dtype != np.uint8:
+            raise ValueError(
+                f"writeImage: .{ext} needs a uint8 raster, got {arr.dtype} — "
+                "colorize/quantize first, or export .npy for native dtypes"
+            )
+        if fmt == "tiff":
+            from ..tiff import COMP_LZW, tiff_encode
 
-        data = tiff_encode(np.ascontiguousarray(arr, dtype=np.uint8), compression=COMP_LZW)
-    else:
-        data = codecs.encode_image(np.ascontiguousarray(arr, dtype=np.uint8), fmt)
+            data = tiff_encode(np.ascontiguousarray(arr), compression=COMP_LZW)
+        else:
+            data = codecs.encode_image(np.ascontiguousarray(arr), fmt)
+    elif fmt == "npy":
+        data = codecs.npy_encode(np.ascontiguousarray(arr))  # native dtype
+    else:  # raw: native bytes, caller tracks dtype/shape
+        data = np.ascontiguousarray(arr).tobytes()
     with open(path, "wb") as f:
         f.write(data)
 

@@ -86,14 +86,30 @@ def build_prepare_job(
     return job
 
 
+#: pipeline execution order of the prepare jobs' stages (text / image)
+FUNNEL_ORDER = ("docs", "images", "exact_dedup", "thumbs", "near_dedup", "filtered")
+
+
 def retention_funnel(spark: SparkSession, out: str, job_id: str) -> DataFrame:
-    """(stage, rows) from the job's metrics table — the curation
-    funnel raw → exact_dedup → near_dedup → filtered."""
+    """(stage, rows) from the job's metrics table in PIPELINE order
+    (not alphabetical), one row per stage (the latest 'ok' run wins if
+    a stage was ever forced to re-run)."""
+    from pyspark.sql import Window
+
+    order = {st: i for i, st in enumerate(FUNNEL_ORDER)}
+    order_col = F.coalesce(
+        *[F.when(F.col("stage") == st, F.lit(i)) for st, i in order.items()],
+        F.lit(len(order)),
+    )
     m = spark.read.parquet(f"{out}/metrics")
+    w = Window.partitionBy("stage").orderBy(F.col("ts").desc())
     return (
-        m.filter((F.col("job_id") == job_id) & (F.col("status") == "ok"))
-        .select("stage", "rows")
-        .orderBy("stage")
+        m.filter((F.col("job_id") == job_id) & (F.col("status").isin("ok", "skipped")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("stage", "rows", order_col.alias("_ord"))
+        .orderBy("_ord")
+        .drop("_ord")
     )
 
 

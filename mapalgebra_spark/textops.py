@@ -381,12 +381,16 @@ def language_id(docs: DataFrame) -> DataFrame:
     re-inlines every dot (9 string scans each) into all 12 comparisons
     — measured 2.8s → 0.8s at sf0.1 with the barrier."""
     lt = F.lower(F.col("text"))
+    # counts as LONG before any multiply: int32 dot products would hit
+    # ANSI ARITHMETIC_OVERFLOW on a ~100 MB document while the HUGEINT
+    # oracle sails through — the long/decimal ladder never overflows
     counts = {
-        ch: (F.length(lt) - F.length(F.replace(lt, F.lit(ch), F.lit("")))) for ch in LANG_LETTERS
+        ch: (F.length(lt) - F.length(F.replace(lt, F.lit(ch), F.lit("")))).cast("long")
+        for ch in LANG_LETTERS
     }
     dots = {
         lg: sum(
-            (counts[ch] * F.lit(w) for ch, w in prof.items()), F.lit(0)
+            (counts[ch] * F.lit(w) for ch, w in prof.items()), F.lit(0).cast("long")
         ).cast("decimal(38,0)")
         for lg, prof in _LANG_PROFILES.items()
     }

@@ -319,6 +319,14 @@ def tiff_decode(data: bytes) -> np.ndarray:
     bps = tags.get(T_BITSPERSAMPLE, [8] * spp)
     if any(b != 8 for b in bps):
         raise ValueError(f"tiff: only 8-bit samples supported, got {bps}")
+    photometric = one(T_PHOTOMETRIC, 1 if spp == 1 else 2)
+    if photometric not in (0, 1, 2):
+        raise ValueError(
+            f"tiff: photometric {photometric} (palette/separation) unsupported"
+        )
+    planar = one(284, 1)  # PlanarConfiguration: only chunky supported
+    if planar != 1:
+        raise ValueError(f"tiff: planar configuration {planar} unsupported")
     comp = one(T_COMPRESSION, COMP_NONE)
     predictor = one(T_PREDICTOR, 1)
     rps = one(T_ROWSPERSTRIP, h)
@@ -347,4 +355,6 @@ def tiff_decode(data: bytes) -> np.ndarray:
             block = np.cumsum(block.astype(np.int64), axis=1).astype(np.uint8)
         rows.append(block)
     img = np.concatenate(rows, axis=0)
+    if photometric == 0:  # MinIsWhite: invert to BlackIsZero
+        img = (255 - img.astype(np.int16)).astype(np.uint8)
     return img[:, :, 0] if spp == 1 else img

@@ -49,7 +49,7 @@ def test_job_runs_and_resumes(spark, tmp_path):
     assert outs2["b"].count() == 10
     assert calls == {"a": 1, "b": 1}
     # simulate a crash before stage b committed: drop its snapshot
-    Catalog(root).drop("b")
+    Catalog(root).drop("j1.b")  # catalog keys are job-namespaced
     outs3 = build().run()
     assert outs3["b"].count() == 10
     assert calls == {"a": 1, "b": 2}  # only b re-ran
@@ -75,21 +75,21 @@ def test_snapshot_isolation_and_time_travel(spark, tmp_path):
         return spark_.range(0, 5).withColumnRenamed("id", "v")
 
     job.run()
-    snap1 = job.catalog.current_snapshot("src")
+    snap1 = job.catalog.current_snapshot(job._table("src"))
 
-    job2 = Job(spark, root, "tt2")
+    job2 = Job(spark, root, "tt")  # SAME job id: same snapshot lineage
 
     @job2.stage("src")
     def src2(spark_, _):
         return spark_.range(0, 9).withColumnRenamed("id", "v")
 
     job2.run(resume=False)  # force a re-run → second snapshot
-    snap2 = job2.catalog.current_snapshot("src")
+    snap2 = job2.catalog.current_snapshot(job2._table("src"))
     assert snap2["snapshot_id"] != snap1["snapshot_id"]
     assert snap2["data_path"] != snap1["data_path"]
     # current = new data; time travel = old data, both intact
     assert job2.read_snapshot("src").count() == 9
     assert job2.read_snapshot("src", snap1["snapshot_id"]).count() == 5
-    assert len(job2.catalog.snapshots("src")) == 2
+    assert len(job2.catalog.snapshots(job2._table("src"))) == 2
     with pytest.raises(KeyError):
         job2.read_snapshot("src", "nope")

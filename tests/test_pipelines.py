@@ -60,7 +60,7 @@ def test_prepare_pipeline_end_to_end_and_resume(spark, dirty_docs, tmp_path):
     assert funnel["exact_dedup"] == funnel["docs"] - 5
 
     # resume: a second run recomputes nothing (no new snapshots)
-    snaps = os.path.join(out, "snapshots")
+    snaps = os.path.join(out, "snapshots", "prep1")
     before = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
     job2 = build_prepare_job(spark, dirty_docs, out, job_id="prep1")
     outs2 = job2.run()
@@ -100,7 +100,7 @@ def test_prepare_images_pipeline(spark, tmp_path):
     assert "zzz_dup_of_first" not in ids  # visual duplicate dropped
     assert "zzz_flat" not in ids  # flat junk culled
     # resume leaves snapshots untouched
-    snaps = os.path.join(out, "snapshots")
+    snaps = os.path.join(out, "snapshots", "imgprep")
     before = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
     build_prepare_images_job(spark, path, out, job_id="imgprep", max_hamming=2).run()
     after = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}

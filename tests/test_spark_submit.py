@@ -54,7 +54,7 @@ def test_spark_submit_pyfiles_end_to_end_and_resume(tmp_path):
     r1 = _submit(zpath, out, "sub1")
     assert r1.returncode == 0, r1.stderr[-3000:]
     # all four stages committed snapshots + lineage/metrics landed
-    snaps = os.path.join(out, "snapshots")
+    snaps = os.path.join(out, "snapshots", "sub1")
     assert sorted(os.listdir(snaps)) == ["focal", "images", "tiles", "zonal"], (
         os.listdir(out)
     )

@@ -217,3 +217,23 @@ def test_tiff_malformed_inputs_fail_fast():
     # truncated pixel data: uncompressed strip shorter than declared
     with pytest.raises(Exception):
         TF.tiff_decode(good[: len(good) // 2])
+
+
+@pytest.mark.spark
+def test_write_image_dtype_guardrails(spark, tmp_path):
+    """8-bit formats refuse non-uint8 rasters (no silent C-cast
+    corruption); .npy preserves the native dtype losslessly."""
+    from mapalgebra_spark.operators import color as CO
+    from mapalgebra_spark.raster import TileRaster
+
+    pix = (np.mgrid[0:64, 0:64][0] * 7.25).astype(np.float64)
+    tr = TileRaster.from_arrays(spark, {"f": pix}, tile_size=32)
+    with pytest.raises(ValueError, match="uint8"):
+        CO.write_image(tr, "f", str(tmp_path / "x.png"))
+    with pytest.raises(ValueError, match="uint8"):
+        CO.write_image(tr, "f", str(tmp_path / "x.tif"))
+    p = str(tmp_path / "x.npy")
+    CO.write_image(tr, "f", p)
+    back = codecs.npy_decode(open(p, "rb").read())
+    assert back.dtype == np.float64
+    np.testing.assert_array_equal(back, pix)
