@@ -459,9 +459,21 @@ def q_reproject(spark, sf_dir):
     pts = _customer_points(spark, sf_dir)
     df = pts.select("point_id", F.col("lng").alias("x"), F.col("lat").alias("y"))
     out = PJ.reproject_points(df, PJ.LATLNG, PJ.WEBMERCATOR, out_x="mx", out_y="my")
-    return out.select(
-        "point_id", F.round("mx", 6).alias("mx"), F.round("my", 6).alias("my")
-    )
+
+    # Millimetre (3dp) quantization via floor(x*1e3 + 0.5)/1e3: two
+    # hazards both die here.  (1) Spark's round() reads the SHORTEST
+    # decimal repr of a double (BigDecimal.valueOf) while DuckDB rounds
+    # full precision — the floor form is identical IEEE arithmetic on
+    # both engines.  (2) JVM Math.log/tan and DuckDB's libm genuinely
+    # differ by 1 ulp on ~2% of inputs, and mercator metres (~2e7,
+    # ulp 3.7e-9) straddle a 1e-6 boundary often enough to flip ~2 of
+    # 30000 values at 6dp (observed at sf0.1); at mm precision the
+    # expected flip count drops to ~0.002 while staying far below any
+    # geodetic meaning.
+    def q3(c):
+        return F.floor(F.col(c) * 1e3 + F.lit(0.5)) / F.lit(1e3)
+
+    return out.select("point_id", q3("mx").alias("mx"), q3("my").alias("my"))
 
 
 def q_reproject_raster(spark, sf_dir):
@@ -1140,8 +1152,8 @@ ORACLE["knn_cells"] = _knn_sql
 ORACLE["reproject_points"] = f"""
 WITH {_POINTS_SQL.strip()}
 SELECT point_id,
-       round(6378137.0 * radians(lng), 6) AS mx,
-       round(6378137.0 * ln(tan(pi()/4.0 + radians(lat)/2.0)), 6) AS my
+       floor(6378137.0 * radians(lng) * 1e3 + 0.5)/1e3 AS mx,
+       floor(6378137.0 * ln(tan(pi()/4.0 + radians(lat)/2.0)) * 1e3 + 0.5)/1e3 AS my
 FROM points
 """
 
