@@ -35,17 +35,46 @@ except Exception:
 
 def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Deterministic block-mean downsample (area interpolation) of a
-    (h, w) or (h, w, c) uint8 image — pure numpy, no image libs."""
+    (h, w) or (h, w, c) uint8 image — pure numpy, no image libs.
+
+    Fully vectorized via an integral image: each output pixel's block
+    sum is four lookups in the 2-D prefix sum.  Bit-identical to the
+    naive per-block ``blk.mean()`` double loop it replaced (and hash-
+    compared against it in tests): every partial sum of uint8 pixels is
+    an integer < 2^53, so both the cumulative and the per-block sums
+    are EXACT in float64 and the final division sees identical
+    numerator/denominator.  The loop version cost out_h*out_w tiny
+    numpy calls per image inside the decode-once thumbnail stage — the
+    one stage that touches every image of a 10^12-image table."""
+    raw = np.asarray(arr)
+    h, w = raw.shape[:2]
+    if h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w:
+        # divisible fast path (the 2^n thumbnail case): one integer
+        # reshape-sum straight off the uint8 input — exact int64 sums,
+        # same division as the general path, no float64 image copy
+        bh, bw = h // out_h, w // out_w
+        sums = raw.reshape((out_h, bh, out_w, bw) + raw.shape[2:]).sum(
+            axis=(1, 3), dtype=np.int64
+        )
+        out = sums / float(bh * bw)
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
     a = np.asarray(arr, dtype=np.float64)
-    h, w = a.shape[:2]
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
-    out_shape = (out_h, out_w) + a.shape[2:]
-    out = np.empty(out_shape)
-    for i in range(out_h):
-        for j in range(out_w):
-            blk = a[ys[i] : max(ys[i + 1], ys[i] + 1), xs[j] : max(xs[j + 1], xs[j] + 1)]
-            out[i, j] = blk.mean(axis=(0, 1))
+    # block bounds; lower bound forced non-empty (matches the old
+    # max(ys[i+1], ys[i]+1) guard for out dims > in dims)
+    y0, y1 = ys[:-1], np.maximum(ys[1:], ys[:-1] + 1)
+    x0, x1 = xs[:-1], np.maximum(xs[1:], xs[:-1] + 1)
+    S = np.zeros((h + 1, w + 1) + a.shape[2:], dtype=np.float64)
+    np.cumsum(a, axis=0, out=S[1:, 1:])
+    np.cumsum(S[1:, 1:], axis=1, out=S[1:, 1:])
+    sums = (
+        S[np.ix_(y1, x1)] - S[np.ix_(y0, x1)] - S[np.ix_(y1, x0)] + S[np.ix_(y0, x0)]
+    )
+    counts = ((y1 - y0)[:, None] * (x1 - x0)[None, :]).astype(np.float64)
+    if a.ndim == 3:
+        counts = counts[..., None]
+    out = sums / counts
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 

@@ -127,8 +127,19 @@ def plane_ab_raw(p: np.ndarray):
     (substitute facetStencil MA:1081-1089 into plane_ab and collect
     terms; avoids materializing 9 facet planes — ~3x faster).  The SQL
     oracles use the same collected form so results stay bit-identical.
+
+    Dtype-preserving for float inputs: the oracle-checked paths pass
+    float64 blocks (FocalSpec cast="float64") and are bit-identical to
+    before; a float32 block runs the whole fit in float32 — half the
+    memory traffic, which is what the kernel is bound by (the flagship
+    bench uses this for 8-bit imagery, where |a|,|b| ≤ 319 and the fit
+    arithmetic is exact or 1-ulp in float32).  Integer inputs upcast to
+    float64 as always (3x3 sums would overflow narrow ints).
     """
-    nw, no, ne, we, _, ea, sw, so, se = shifts(np.asarray(p, dtype=np.float64))
+    q = p if np.issubdtype(np.asarray(p).dtype, np.floating) else np.asarray(
+        p, dtype=np.float64
+    )
+    nw, no, ne, we, _, ea, sw, so, se = shifts(q)
     # in-place accumulation with the SAME operation order as the
     # textbook form above — bit-identical results, ~3x fewer temp
     # allocations (the kernel is memory-bandwidth bound)
@@ -211,8 +222,16 @@ def k_fproduct(p: np.ndarray) -> np.ndarray:
 
 
 def k_fmean(p: np.ndarray) -> np.ndarray:
-    """Focal mean, border Fill 0 (MA:794-796)."""
-    out = k_fsum(np.asarray(p, dtype=np.float64))
+    """Focal mean, border Fill 0 (MA:794-796).
+
+    Dtype-preserving for float inputs (float64 oracle paths unchanged;
+    float32 runs fully in float32 — sums of nine 8-bit pixels are exact
+    either way, the /9 differs by ≤1 ulp of float32).  Integer inputs
+    upcast to float64 (narrow-int 3x3 sums would overflow)."""
+    q = p if np.issubdtype(np.asarray(p).dtype, np.floating) else np.asarray(
+        p, dtype=np.float64
+    )
+    out = k_fsum(q)
     out /= 9.0
     return out
 

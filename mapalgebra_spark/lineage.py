@@ -52,7 +52,16 @@ class Job:
         """Catalog key for a stage — namespaced by job_id so two
         different jobs sharing one root can NEVER cross-read each
         other's committed snapshots (two pipelines both naming a stage
-        'filtered' would otherwise resume from each other's data)."""
+        'filtered' would otherwise resume from each other's data).
+
+        Upgrade note (round 2): keys were previously the bare stage
+        name; snapshots committed under the old layout are not found,
+        so a pre-existing job re-runs each stage ONCE and recommits
+        under the namespaced key (no corruption — old snapshot dirs
+        stay readable on disk).  A bare-key read fallback is
+        deliberately NOT provided: it would reintroduce exactly the
+        cross-job collision this namespacing fixes, silently resuming
+        from another pipeline's committed data."""
         return f"{self.job_id}.{stage}"
 
     def stage(self, name: str, inputs: list[str] | None = None):
@@ -67,21 +76,30 @@ class Job:
     def _append(self, table: str, df: DataFrame):
         df.write.mode("append").parquet(os.path.join(self.root, table))
 
-    def _record_lineage(self, stage: str, out_path: str):
-        df = self.spark.read.parquet(out_path)
-        lin = (
-            df.withColumn("partition_id", F.spark_partition_id())
-            .groupBy("partition_id")
-            .count()
-            .select(
-                F.lit(self.job_id).alias("job_id"),
-                F.lit(stage).alias("stage"),
-                "partition_id",
-                F.col("count").alias("rows"),
-                F.lit(None).cast("long").alias("approx_bytes"),
-                F.current_timestamp().alias("ts"),
-            )
+    def _write_stats(self, out_path: str) -> list[tuple[int, int, int]]:
+        """(partition_id, rows, bytes) per written part-file, from the
+        parquet FOOTERS — O(files) metadata reads, never a data scan.
+        This is the Iceberg manifest-statistics design: the write
+        already produced exact per-file counts; re-scanning 100 TB of
+        output to recount it (the r2 implementation) triples the I/O of
+        every pipeline stage."""
+        import pyarrow.parquet as pq
+
+        stats = []
+        files = sorted(
+            f for f in os.listdir(out_path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
+        for i, fn in enumerate(files):
+            p = os.path.join(out_path, fn)
+            stats.append((i, pq.ParquetFile(p).metadata.num_rows, os.path.getsize(p)))
+        return stats
+
+    def _record_lineage(self, stage: str, stats: list[tuple[int, int, int]]):
+        lin = self.spark.createDataFrame(
+            [(self.job_id, stage, pid, rows, nbytes) for pid, rows, nbytes in stats],
+            "job_id string, stage string, partition_id int, rows long, approx_bytes long",
+        ).withColumn("ts", F.current_timestamp())
         self._append("lineage", lin)
 
     def _record_metrics(self, stage: str, wall: float, rows: int, nparts: int, status: str):
@@ -118,14 +136,23 @@ class Job:
             )
             df = st.fn(self.spark, {k: outputs[k] for k in st.inputs})
             df.write.mode("errorifexists").parquet(out_path)
-            back = self.spark.read.parquet(out_path)
-            rows = back.count()
-            nparts = back.rdd.getNumPartitions()
+            # rows / partitions / bytes come from the parquet footers the
+            # write just produced (one metadata read per file) — the
+            # write is the ONLY job that touches the stage's data
+            stats = self._write_stats(out_path)
+            rows = sum(s[1] for s in stats)
+            nparts = len(stats)
             # commit AFTER a fully successful write → resume-safe
-            self.catalog.commit_snapshot(self._table(st.name), out_path, back.schema.json(), rows)
-            self._record_lineage(st.name, out_path)
+            self.catalog.commit_snapshot(self._table(st.name), out_path, df.schema.json(), rows)
+            self._record_lineage(st.name, stats)
             self._record_metrics(st.name, time.perf_counter() - t0, rows, nparts, "ok")
-            outputs[st.name] = back
+            # operators persist self-join bases (LSH sets, simhash
+            # signatures — cacheutil.attach_bases); the snapshot is
+            # committed, so those caches are dead weight from here on
+            from .cacheutil import unpersist_bases
+
+            unpersist_bases(df)
+            outputs[st.name] = self.spark.read.parquet(out_path)
         return outputs
 
     def read_snapshot(self, stage: str, snapshot_id: str | None = None) -> DataFrame:

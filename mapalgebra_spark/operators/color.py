@@ -159,9 +159,14 @@ def histogram_binned(
                     row["tile"], row["dtype"], int(row["h"]), int(row["w"]), int(row["planes"])
                 ).astype(np.float64)
                 flat = block.ravel()
-                flat = flat[~np.isnan(flat)]  # NaN → undefined int cast
+                # NaN would make the int cast undefined; +-inf would
+                # wrap to INT64_MIN and land in bin 0 — pre-clamping to
+                # [lo, hi] sends +inf to the TOP bin and -inf to the
+                # bottom one (the clamp contract), with NaN dropped
+                flat = flat[~np.isnan(flat)]
                 idx = np.clip(
-                    np.floor((flat - lo) / width).astype(np.int64), 0, bins - 1
+                    np.floor((np.clip(flat, lo, hi) - lo) / width).astype(np.int64),
+                    0, bins - 1,
                 )
                 acc += np.bincount(idx, minlength=bins)
             yield pd.DataFrame({"bin": np.arange(bins, dtype=np.int32), "cnt": acc})

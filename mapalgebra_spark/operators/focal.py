@@ -164,6 +164,7 @@ def focal_multi(
     repartition: bool = True,
     persist_combined: bool = True,
     out_dtype: str | None = None,
+    sink: str = "tiles",
 ) -> dict[str, TileRaster]:
     """Run several focal ops over ONE halo materialization.
 
@@ -178,6 +179,17 @@ def focal_multi(
     stage for precision the data doesn't have.  Default None keeps the
     kernel's native dtype (the reference-exact float64 path used by all
     oracle-checked queries).
+
+    ``sink="checksum"`` runs the identical halo join + kernels but the
+    kernel stage REDUCES each tile's outputs to one float64 sum per op
+    (columns ``sum_<op>``) instead of returning tile bytes; the return
+    value is then a single DataFrame of (key cols, sums).  This is the
+    compute-and-reduce form: on a real cluster full outputs stream to
+    node-local storage (a per-node cost that scales with nodes), while
+    in one-box local mode funnelling every output tile back through one
+    JVM measures the box's memory system, not the engine.  The sums
+    double as a cross-check against the tile sink (same values, either
+    path).
     """
     specs = [FOCAL_OPS[o] if isinstance(o, str) else o for o in ops]
     if out_dtype is not None:
@@ -197,13 +209,19 @@ def focal_multi(
 
     computed = {"tile", "dtype", "planes", *AUX_COLS}
     plain_cols = [f.name for f in TILE_SCHEMA.fields if f.name not in computed]
+    checksum = sink == "checksum"
     out_fields = [f for f in TILE_SCHEMA.fields if f.name not in computed]
-    for s in specs:
+    if checksum:
         out_fields = out_fields + [
-            T.StructField(f"tile_{s.name}", T.BinaryType()),
-            T.StructField(f"dtype_{s.name}", T.StringType()),
-            T.StructField(f"planes_{s.name}", T.IntegerType()),
-        ] + [T.StructField(f"{c}_{s.name}", T.BinaryType()) for c in AUX_COLS]
+            T.StructField(f"sum_{s.name}", T.DoubleType()) for s in specs
+        ]
+    else:
+        for s in specs:
+            out_fields = out_fields + [
+                T.StructField(f"tile_{s.name}", T.BinaryType()),
+                T.StructField(f"dtype_{s.name}", T.StringType()),
+                T.StructField(f"planes_{s.name}", T.IntegerType()),
+            ] + [T.StructField(f"{c}_{s.name}", T.BinaryType()) for c in AUX_COLS]
     out_schema = T.StructType(out_fields)
 
     import pyarrow as pa
@@ -234,6 +252,7 @@ def focal_multi(
             res_dt = {s.name: [None] * n for s in specs}
             res_pl = {s.name: [1] * n for s in specs}
             res_aux = {(s.name, c): [None] * n for s in specs for c in AUX_COLS}
+            res_sum = {s.name: np.zeros(n, dtype=np.float64) for s in specs}
             for r in range(n):
                 h, w, planes = int(cols["h"][r]), int(cols["w"][r]), int(cols["planes"][r])
                 core = decode_block(tiles_col[r], dtype_col[r], h, w, planes)
@@ -275,6 +294,11 @@ def focal_multi(
                     res = np.asarray(s.kernel(padded_cache[ck]))
                     if s.out_cast:
                         res = res.astype(np.dtype(s.out_cast))
+                    if checksum:
+                        # reduce in place of materializing: same kernel
+                        # output (post out_cast), one double per tile
+                        res_sum[s.name][r] = float(res.sum(dtype=np.float64))
+                        continue
                     res_cols[f"tile_{s.name}"][r] = encode_block(res)
                     res_dt[s.name][r] = str(res.dtype)
                     res_pl[s.name][r] = res.shape[0] if res.ndim == 3 else 1
@@ -286,6 +310,8 @@ def focal_multi(
                 names.append(nm)
                 if nm in (c for c in batch.schema.names):
                     arrays.append(batch.column(nm))
+                elif nm.startswith("sum_"):
+                    arrays.append(pa.array(res_sum[nm[len("sum_"):]], type=pa.float64()))
                 elif nm.startswith("tile_"):
                     arrays.append(pa.array(res_cols[nm], type=pa.binary()))
                 elif nm.startswith("dtype_"):
@@ -302,6 +328,8 @@ def focal_multi(
             yield pa.RecordBatch.from_arrays(arrays, names)
 
     combined = joined.mapInArrow(run, out_schema)
+    if checksum:
+        return combined  # (key cols, sum_<op> doubles) — see docstring
     if len(specs) > 1 and persist_combined:
         # share one halo+kernel pass across the per-op selections; for
         # count-only or write-through consumers pass persist_combined=

@@ -59,10 +59,17 @@ def build_prepare_job(
 
     @job.stage("near_dedup", inputs=["exact_dedup"])
     def near_dedup(spark, ins):
+        from .cacheutil import attach_bases
+
         d = ins["exact_dedup"]
         pairs = TX.minhash_lsh_pairs(d, threshold=near_threshold)
         dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-        return d.join(dupes, on="doc_id", how="left_anti")
+        # carry the LSH base caches to the stage output: Job.run drops
+        # them right after this stage's snapshot commits
+        return attach_bases(
+            d.join(dupes, on="doc_id", how="left_anti"),
+            getattr(pairs, "_persisted_bases", ()),
+        )
 
     @job.stage("filtered", inputs=["near_dedup"])
     def filtered(spark, ins):

@@ -27,10 +27,26 @@ def get_spark(
         shuffle_partitions = (
             int(master[6:-1]) if master.startswith("local[") and master[6:-1].isdigit() else 200
         )
+    # glibc malloc: numpy tile kernels free multi-100KB blocks constantly;
+    # with the default 128KB mmap threshold every large temp is a fresh
+    # mmap/munmap pair, and munmap's TLB shootdown IPIs serialize across
+    # cores (measured: bimodal 2x slowdowns at 32 workers).  Keep big
+    # blocks in the arena instead.  Must be set BEFORE the JVM spawns so
+    # forked Python workers inherit it.
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", "536870912")
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", "268435456")
     b = (
         SparkSession.builder.master(master)
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # ParallelGC: G1's concurrent cycles were measured burning >100
+        # core-seconds per stage on fat binary-blob rows (48g heap, 32
+        # threads), making identical runs bimodally 2-3x slower; the
+        # throughput collector is stable here.  Override via ``extra``.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -46,6 +62,13 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    if master.startswith("local"):
+        # single-box shuffles land in the page cache; lz4-compressing
+        # them only burns CPU (measured ~15 core-s per strip shuffle on
+        # the flagship).  Cluster masters keep the default (network).
+        b = b.config("spark.shuffle.compress", "false").config(
+            "spark.shuffle.spill.compress", "false"
+        )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

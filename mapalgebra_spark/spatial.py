@@ -179,6 +179,8 @@ def knn_cells(
     possible distance of the first unexplored ring; stragglers fall back
     to brute force.  At scale this turns a full cross join into a few
     ring-local joins."""
+    from .cacheutil import attach_bases
+
     pts = with_cell(points, level).persist()
     qs = with_cell(queries, level, out="qcell").select(
         "query_id", F.col("lat").alias("qlat"), F.col("lng").alias("qlng"), "qcell"
@@ -226,7 +228,7 @@ def knn_cells(
         queries.join(F.broadcast(bad), on="query_id", how="inner"), points, k
     )
     good = topk.join(F.broadcast(bad), on="query_id", how="left_anti")
-    return good.unionByName(fallback)
+    return attach_bases(good.unionByName(fallback), [pts, topk])
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +255,13 @@ def rasterize_polygons(
     overlaps (painter's order by poly index).  Combined with
     ``operators.zonal.zonal_stats`` this is GaCM zonal aggregation by
     true vector zones at pixel resolution.
+
+    Scale contract: ``polygons`` is a DIMENSION table (admin zones,
+    AOIs — thousands of rings), collected to the driver and broadcast
+    with each tile task; memory is O(total ring vertices).  For a
+    million-polygon layer, partition the layer spatially and run one
+    rasterize per partition over the tiles its cell covers (cellindex
+    cover + a broadcast join) instead of calling this directly.
     """
     import pandas as pd
 

@@ -39,9 +39,41 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .cacheutil import attach_bases
+
 # --- the shared 60-bit md5 hash (Spark <-> DuckDB identical) -----------------
 
 P31 = 2147483647  # 2^31 - 1 (Mersenne): universal-hash modulus
+
+
+def _pin_no_codegen(df: DataFrame) -> DataFrame:
+    """Freeze ``df``'s physical plan with whole-stage codegen OFF.
+
+    The wide generated expressions in this module (26-letter x 8-lang
+    dot products, 60 conditional-sum simhash bits) cost janino+JIT
+    ~4-5s to compile while their interpreted execution measures within
+    5% of compiled (string/hash intrinsics dominate, not expression
+    glue) — so codegen is pure latency for these plans.  Spark has no
+    per-plan hint, but the physical plan is computed once and cached on
+    the DataFrame: force it while the session conf is flipped, then
+    restore.  Every OTHER plan in the session keeps codegen.
+
+    Scope: the pin holds for ``collect``/``toPandas``-style actions on
+    THIS DataFrame (they reuse the cached QueryExecution — the driver's
+    correctness harness path).  ``df.write`` builds a fresh
+    QueryExecution and replans under the session conf, so batch sinks
+    still compile; the bench harness instead absorbs one-time plan
+    compile with a small-SF warm pass (bench.py run_queries).
+    """
+    spark = df.sparkSession
+    key = "spark.sql.codegen.wholeStage"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        df._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set(key, old)
+    return df
 
 
 def h60(col) -> F.Column:
@@ -222,10 +254,14 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7, k: int = SHINGLE_
     sets are persisted: the band self-join references the signature
     pipeline on BOTH sides, and without the persist Spark recomputes
     the whole hash stage twice (no subplan sharing across a self-join)."""
-    pairs = _lsh_candidates(minhash_signatures(docs, k, sets=shingle_sets(docs).persist()))
+    sets = shingle_sets(docs).persist()
+    pairs = _lsh_candidates(minhash_signatures(docs, k, sets=sets))
     est = pairs.withColumn("est_jaccard", _est_jaccard())
-    return est.filter(F.col("est_jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+    return attach_bases(
+        est.filter(F.col("est_jaccard") >= threshold).select(
+            "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
+        ),
+        [sets],
     )
 
 
@@ -260,8 +296,13 @@ def ngram_jaccard_pairs(
             / F.size(F.array_union("hs_a", "hs_b")).cast("double"),
         )
     )
-    return j.filter(F.col("jaccard") >= threshold).select(
-        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    return attach_bases(
+        _pin_no_codegen(
+            j.filter(F.col("jaccard") >= threshold).select(
+                "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+            )
+        ),
+        [sets],
     )
 
 
@@ -279,19 +320,29 @@ def simhash_df(docs: DataFrame) -> DataFrame:
     toks = docs.repartition(F.col("doc_id")).select(
         "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
     ).select("doc_id", h60(F.col("tok")).alias("hh"))
+    # collapse duplicate tokens first: natural-language corpora repeat
+    # tokens 2-5x, so the 60 bit-sums below run over the DISTINCT
+    # (doc, hash) rows weighted by count — same votes (s_i = 2*c_i - n
+    # where c_i counts set bits), measurably fewer aggregate rows, and
+    # the dedup groupBy partial-aggregates map-side before its shuffle.
+    toks = toks.groupBy("doc_id", "hh").agg(F.count("*").alias("cnt"))
     votes = toks.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n"),
         *[
             F.sum(
-                F.when(F.shiftright(F.col("hh"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"s{i}")
+                F.shiftright(F.col("hh"), i).bitwiseAND(F.lit(1)) * F.col("cnt")
+            ).alias(f"c{i}")
             for i in range(SIMHASH_BITS)
-        ]
+        ],
     )
     acc = None
     for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        # bit set iff the +1/-1 vote sum is positive: 2*c_i > n
+        term = F.when(2 * F.col(f"c{i}") > F.col("n"), F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
         acc = term if acc is None else acc + term
-    return votes.select("doc_id", acc.alias("simhash"))
+    return _pin_no_codegen(votes.select("doc_id", acc.alias("simhash")))
 
 
 def simhash_local(text: str) -> int:
@@ -349,7 +400,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
         .filter(F.col("hamming") <= max_hamming)
     )
-    return pairs.select("doc_a", "doc_b", "hamming")
+    return attach_bases(pairs.select("doc_a", "doc_b", "hamming"), [s])
 
 
 # --- language ID / quality / fingerprint ---------------------------------------
@@ -416,7 +467,7 @@ def language_id(docs: DataFrame) -> DataFrame:
             cond = c if cond is None else cond & c
         pred = pred.when(cond, F.lit(lg))
     pred = pred.otherwise(F.lit(LANGS[-1]))
-    return staged.select("doc_id", pred.alias("lang_pred"))
+    return _pin_no_codegen(staged.select("doc_id", pred.alias("lang_pred")))
 
 
 def language_id_local(text: str) -> str:

@@ -330,6 +330,10 @@ def tiff_decode(data: bytes) -> np.ndarray:
     comp = one(T_COMPRESSION, COMP_NONE)
     predictor = one(T_PREDICTOR, 1)
     rps = one(T_ROWSPERSTRIP, h)
+    if T_STRIPOFFSETS not in tags:
+        # required tag: fail-fast ValueError like every other
+        # malformed-input path (was a raw KeyError)
+        raise ValueError("tiff: missing tag StripOffsets (273)")
     offsets = tags[T_STRIPOFFSETS]
     counts = tags.get(T_STRIPBYTECOUNTS)
     if counts is None:

@@ -83,6 +83,12 @@ def main():
     ap.add_argument("--job-id", default="job0")
     ap.add_argument("--n-images", type=int, default=64)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--verbose", action="store_true",
+        help="recount every stage output after the run (each count is a "
+        "full scan job — off by default so the last stage commit is the "
+        "final Spark job)",
+    )
     args = ap.parse_args()
 
     from mapalgebra_spark.session import get_spark
@@ -90,7 +96,15 @@ def main():
     spark = get_spark(app=f"runner_{args.job_id}")
     job = build_job(spark, args.out, args.job_id, args.images, args.n_images)
     outs = job.run(resume=not args.no_resume)
-    print({k: v.count() for k, v in outs.items()})
+    if args.verbose:
+        print({k: v.count() for k, v in outs.items()})
+    else:
+        # committed row counts come free from the catalog (written from
+        # the parquet footers at commit time) — no post-run scan jobs
+        print({
+            k: job.catalog.current_snapshot(job._table(k))["row_count"]
+            for k in outs
+        })
 
 
 if __name__ == "__main__":

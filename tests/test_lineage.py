@@ -93,3 +93,36 @@ def test_snapshot_isolation_and_time_travel(spark, tmp_path):
     assert len(job2.catalog.snapshots(job2._table("src"))) == 2
     with pytest.raises(KeyError):
         job2.read_snapshot("src", "nope")
+
+
+def test_stage_writes_once_no_postwrite_scans(spark, tmp_path):
+    """A stage must cost exactly: 1 write job over its data + tiny
+    lineage/metrics appends (driver-side rows) — NEVER a post-write
+    re-scan of the output (the r2 implementation re-read each stage's
+    output twice: once to count(), once for per-partition lineage;
+    at 100 TB that triples every stage's I/O).  Lineage now comes from
+    the parquet footers the write produced."""
+    root = str(tmp_path / "job")
+    job = Job(spark, root, "jscan")
+
+    @job.stage("a")
+    def a(spark, _):
+        return spark.range(1000).withColumn("v", F.col("id") * 3)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    outs = job.run()
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    new_jobs = after - before
+    # 1 data write (+1 committer setup job in Spark 4) + 1 lineage
+    # append + 1 metrics append = 4 jobs max; the old double-read-back
+    # implementation needed >= 6
+    assert len(new_jobs) <= 4, f"stage ran {len(new_jobs)} Spark jobs"
+    # lineage carries real per-file stats from the write
+    lin = spark.read.parquet(os.path.join(root, "lineage"))
+    rows = lin.agg(F.sum("rows")).collect()[0][0]
+    assert rows == 1000
+    assert lin.filter(F.col("approx_bytes") > 0).count() == lin.count()
+    # catalog committed count matches without any recount
+    assert job.catalog.current_snapshot("jscan.a")["row_count"] == 1000
+    assert outs["a"].count() == 1000

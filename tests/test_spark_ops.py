@@ -87,6 +87,41 @@ def test_focal_multi_shares_one_halo(spark):
     np.testing.assert_allclose(g, ref_focal(TERRAIN, "fgradient"), atol=1e-12)
 
 
+def test_focal_multi_checksum_sink_matches_tiles_sink(spark):
+    """sink="checksum" must reduce EXACTLY the tile sink's outputs: for
+    every tile, sum_<op> == sum of the materialized output block (same
+    kernels, same out_cast), for both the float64 default and the
+    flagship's float32 path."""
+    from dataclasses import replace as _rp
+
+    for cast, out_dtype in ((None, None), ("float32", "float32")):
+        tr = make_tr(spark, TERRAIN, 7)
+        specs = [
+            _rp(FO.FOCAL_OPS["fmean"], cast=cast or FO.FOCAL_OPS["fmean"].cast),
+            _rp(FO.FOCAL_OPS["fgradient"], cast=cast or "float64"),
+        ]
+        outs = FO.focal_multi(tr, specs, out_dtype=out_dtype)
+        cs = FO.focal_multi(tr, specs, out_dtype=out_dtype, sink="checksum")
+        got = {
+            (r["ty"], r["tx"]): (r["sum_fmean"], r["sum_fgradient"])
+            for r in cs.collect()
+        }
+        from mapalgebra_spark.tiles import decode_block
+
+        for r in outs["fmean"]._combined.collect():
+            m = decode_block(
+                r["tile_fmean"], r["dtype_fmean"], r["h"], r["w"], r["planes_fmean"]
+            )
+            g = decode_block(
+                r["tile_fgradient"], r["dtype_fgradient"], r["h"], r["w"],
+                r["planes_fgradient"],
+            )
+            sm, sg = got[(r["ty"], r["tx"])]
+            assert sm == float(m.sum(dtype=np.float64))
+            assert sg == float(g.sum(dtype=np.float64))
+        outs["fmean"]._combined.unpersist()
+
+
 def test_local_fusion_no_shuffle(spark):
     """A fused unary chain must stay a single mapInPandas over the scan —
     no Exchange in the plan."""
