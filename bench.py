@@ -231,7 +231,28 @@ def run_flagship(
         stopper.join(20)
 
 
-def hw_baseline(procs_list=(2, 8, 32), tiles_per_proc=120) -> dict:
+def _hw_work(args):
+    """One no-Spark worker unit: float32 cast + pad + fmean + fgradient
+    per tile (module-level so multiprocessing can pickle it)."""
+    seed, tiles_per_proc = args
+    import numpy as np
+
+    from mapalgebra_spark import kernels as K
+
+    rng = np.random.default_rng(seed)
+    core = rng.integers(0, 255, (256, 256), dtype=np.uint8)
+    acc = 0.0
+    # mirror the engine's checksum-sink kernel stage exactly: f32 cast,
+    # pad, both kernels, one float64 reduction per op output
+    for _ in range(tiles_per_proc):
+        c = core.astype(np.float32)
+        p = np.pad(c, 1, mode="reflect")
+        acc += float(K.k_fmean(p).sum(dtype=np.float64))
+        acc += float(K.k_gradient(p).sum(dtype=np.float64))
+    return acc
+
+
+def hw_baseline(procs_list=(2, 8, 32), tiles_per_proc=1200) -> dict:
     """No-Spark hardware ceiling: the flagship's float32 kernels (cast +
     pad + fmean + fgradient per 256x256 tile) in a bare multiprocessing
     pool.  This is what the SILICON does at each width — the engine
@@ -239,29 +260,18 @@ def hw_baseline(procs_list=(2, 8, 32), tiles_per_proc=120) -> dict:
     every bench run and reported next to the engine legs."""
     import multiprocessing as mp
 
-    import numpy as np
-
-    from mapalgebra_spark import kernels as K
-
-    def work(seed):
-        rng = np.random.default_rng(seed)
-        core = rng.integers(0, 255, (256, 256), dtype=np.uint8)
-        acc = 0.0
-        for _ in range(tiles_per_proc):
-            c = core.astype(np.float32)
-            p = np.pad(c, 1, mode="reflect")
-            acc += float(K.k_fmean(p).sum(dtype=np.float64))
-            acc += float(np.nansum(K.k_gradient(p)))
-        return acc
-
     out = {}
     for n in procs_list:
+        # 4 units per proc so one slow fork can't skew the tail; each
+        # leg's timed region is >= ~1.5s (dispatch noise amortized)
+        unit = max(1, tiles_per_proc // 4)
+        args = [(i, unit) for i in range(n * 4)]
         with mp.Pool(n) as pool:
-            pool.map(work, range(n))  # warm (imports, page faults)
+            pool.map(_hw_work, args[:n])  # warm (imports, page faults)
             t0 = time.perf_counter()
-            pool.map(work, range(n))
+            pool.map(_hw_work, args)
             dt = time.perf_counter() - t0
-        out[n] = round(n * tiles_per_proc / dt, 1)
+        out[n] = round(len(args) * unit / dt, 1)
     return out
 
 
@@ -495,7 +505,10 @@ def main():
             h = f"{hw[width]:.0f}" if width in hw else "—"
             f.write(f"| {width} | {e} | {h} |\n")
         f.write(
-            "\nPast ~8-16 concurrent AVX workers this box's shared memory\n"
+            "\n(Columns are scaling CURVES, not same-unit comparisons: the\n"
+            "numpy pool processes full 256x256 tiles while the engine's tile\n"
+            "table averages ~85% of that area from image-edge tiles.)\n\n"
+            "Past ~8-16 concurrent AVX workers this box's shared memory\n"
             "system saturates: the RAW NUMPY pool (no Spark anywhere) stops\n"
             "scaling, and the engine tracks the same silicon ceiling.  A real\n"
             "4N-executor cluster multiplies DRAM and cache per node and does\n"
@@ -523,6 +536,18 @@ def main():
         for k, v in sorted(qtimes.items()):
             role = "oracle baseline (deliberately exact)" if k in BASELINE_QUERIES else ""
             f.write(f"| {k} | {v} | {role} |\n")
+        f.write(
+            "\nText-op r1-comparability note: lang_id / simhash /\n"
+            "ngram_jaccard / minhash_pairs were rewritten in r2 from per-row\n"
+            "Python UDFs to pure-JVM deterministic pipelines with exact\n"
+            "DuckDB oracles.  Their r2 timings carried 1.5-5s of per-plan\n"
+            "janino/JIT compile each — absorbed since r3 by the sf0.001 warm\n"
+            "pass above (plan compile is once-per-executor-lifetime at the\n"
+            "100 TB posture).  Any residual delta vs the r1 Python timings\n"
+            "is the explode+shuffle shape that makes these ops scale: the r1\n"
+            "form held each document's token multiset inside one Python\n"
+            "worker's memory.\n"
+        )
 
     out = {
         "metric": "tiles/sec focal fmean+fgradient over 256x256 tiles",
