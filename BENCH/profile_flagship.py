@@ -1,8 +1,15 @@
 #!/usr/bin/env python
-"""Profiling harness for the flagship scaling investigation (r3).
+"""DIAGNOSTIC scratch harness from the r3 scaling investigation.
 
-Usage: python BENCH/profile_flagship.py <cores> <tiles_parquet> <sink> [runs]
-sink: tiles | checksum
+bench.py is the authoritative protocol; this tool intentionally
+exposes knobs bench.py pins (SPARK_GRAFT_FCAST, _GC, _STORAGE,
+_SHUF_COMPRESS, _CACHE_*, FULL_WARM) so single factors can be A/B'd
+in isolation.  Conclusions drawn here must be re-confirmed through
+bench.py before they count.
+
+Usage: python BENCH/profile_flagship.py <spec> <tiles_parquet> <sink> [runs]
+spec: "32" -> local[32]; "8x4" -> local-cluster[8,4,mem]
+sink: tiles | checksum | join
 Prints one JSON line with every run's seconds.
 """
 import json

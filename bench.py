@@ -11,9 +11,12 @@ Sandbox realization of "N vs 4N executors" (full rationale + measured
 evidence in BASELINE.md §"Target metric" and BENCH/BASELINE.md):
 
 * an executor is a fixed slice of HARDWARE, so each leg is pinned to
-  its core budget with ``sched_setaffinity`` before the JVM spawns
-  (unpinned ``local[8]`` on a 32-core box silently borrows extra
-  physical cores for JVM/GC/Python-worker threads — measured ~1.2x).
+  its core budget with ``sched_setaffinity`` before the JVM spawns:
+  an unpinned leg runs ~2N active threads (task slots + Python
+  workers) over whatever idle cores exist, so local[N] only means N
+  by construction when pinned (the unpinned delta at width 8 has
+  measured both +9% and -12% across sessions — noise-band — and the
+  contract-literal unpinned rows are always published for comparison).
 * gate legs are N=2 vs 4N=8 pinned cores, the region where THIS box's
   memory system is itself linear: the no-Spark hardware baseline (same
   numpy kernels in a multiprocessing pool, measured fresh every run
@@ -261,16 +264,25 @@ def hw_baseline(procs_list=(2, 8, 32), tiles_per_proc=1200) -> dict:
     import multiprocessing as mp
 
     out = {}
+    orig_affinity = os.sched_getaffinity(0)
     for n in procs_list:
+        if n > len(orig_affinity):
+            continue  # never report a fictitious width on a smaller host
         # 4 units per proc so one slow fork can't skew the tail; each
         # leg's timed region is >= ~1.5s (dispatch noise amortized)
         unit = max(1, tiles_per_proc // 4)
         args = [(i, unit) for i in range(n * 4)]
-        with mp.Pool(n) as pool:
-            pool.map(_hw_work, args[:n])  # warm (imports, page faults)
-            t0 = time.perf_counter()
-            pool.map(_hw_work, args)
-            dt = time.perf_counter() - t0
+        try:
+            # pin like the engine legs (children inherit affinity) so
+            # the published columns are like-for-like
+            os.sched_setaffinity(0, set(sorted(orig_affinity)[:n]))
+            with mp.Pool(n) as pool:
+                pool.map(_hw_work, args[:n])  # warm (imports, page faults)
+                t0 = time.perf_counter()
+                pool.map(_hw_work, args)
+                dt = time.perf_counter() - t0
+        finally:
+            os.sched_setaffinity(0, orig_affinity)
         out[n] = round(len(args) * unit / dt, 1)
     return out
 
@@ -278,6 +290,17 @@ def hw_baseline(procs_list=(2, 8, 32), tiles_per_proc=1200) -> dict:
 #: deliberately-exact oracle baselines — all-pairs by construction; the
 #: scale paths they gate are knn_cells / cosine_topk_lsh / cosine_topk_ivf
 BASELINE_QUERIES = {"knn_exact", "cosine_topk"}
+
+
+def _drop_caches(spark, keep) -> None:
+    """Unpersist every cached RDD whose id is not in ``keep`` (operator
+    self-join bases accumulate across the 58 queries otherwise)."""
+    for rid in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray():
+        if rid not in keep:
+            try:
+                spark.sparkContext._jsc.getPersistentRDDs().get(rid).unpersist(False)
+            except Exception:
+                pass
 
 
 def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
@@ -323,26 +346,14 @@ def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
                     qs[name](spark, warm_sf).write.format("noop").mode("overwrite").save()
                 except Exception as ex:
                     print(f"warm {name} failed: {ex}", file=sys.stderr)
-            for rid in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray():
-                if rid not in grid_cache:
-                    try:
-                        spark.sparkContext._jsc.getPersistentRDDs().get(rid).unpersist(False)
-                    except Exception:
-                        pass
+            _drop_caches(spark, grid_cache)
         for name in sorted(qs):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             times[name] = round(time.perf_counter() - t0, 3)
-            # operators persist() their self-join bases (textops/knn);
-            # left cached they accumulate across the 58 queries and
-            # pollute later timings — drop everything except the
-            # pre-built grid
-            for rid in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray():
-                if rid not in grid_cache:
-                    try:
-                        spark.sparkContext._jsc.getPersistentRDDs().get(rid).unpersist(False)
-                    except Exception:
-                        pass
+            # drop operator caches between queries so they can't
+            # pollute later timings; keep only the pre-built grid
+            _drop_caches(spark, grid_cache)
     finally:
         spark.stop()
     return times, grid_build
@@ -438,7 +449,7 @@ def main():
 
         # ---- no-Spark hardware ceiling at the same widths -----------
         try:
-            hw = hw_baseline((SCALE_LOW, SCALE_HIGH, 32))
+            hw = hw_baseline((SCALE_LOW, SCALE_HIGH, CPUS))
         except Exception as ex:  # never let the baseline kill the bench
             print(f"hw baseline failed: {ex}", file=sys.stderr)
 
@@ -524,8 +535,16 @@ def main():
                     f"| contract-literal local[{w['cores']}] | {w['cores']} | no | {w['sink']} | {w['sec']:.2f} | {w['tps']:.1f} |\n"
                 )
         if full:
+            # honest labeling when the tiles-sink leg failed and a
+            # scaling hi leg was substituted: report ITS sink/pinning
+            label = (
+                "headline (full materialization)"
+                if full.get("sink") == "tiles"
+                else "headline FALLBACK (tiles-sink leg failed; best scaling leg shown)"
+            )
+            pinned = "no" if not full.get("pin") else f"yes ({full['pin']})"
             f.write(
-                f"| headline (full materialization) | {full['cores']} | no | tiles | {full['sec']:.2f} | {full['tps']:.1f} |\n"
+                f"| {label} | {full['cores']} | {pinned} | {full.get('sink', 'tiles')} | {full['sec']:.2f} | {full['tps']:.1f} |\n"
             )
         f.write(
             f"\nPer-query seconds at {SF_DIR} (shared lineitem→grid build, a\n"

@@ -10,6 +10,15 @@ Operators attach their persisted bases to the DataFrame they return via
 :func:`attach_bases`; callers drop them with :func:`unpersist_bases`
 once the result is materialized (pipeline stages do this right after
 the lineage snapshot commits).
+
+Caveat: the attachment is a plain Python attribute on ONE DataFrame
+object — any transformation (``.select``, ``.filter``, ...) returns a
+NEW DataFrame without it.  A caller that derives from an operator
+result must carry the handles forward explicitly::
+
+    out = op(...)
+    derived = attach_bases(out.select(...),
+                           getattr(out, "_persisted_bases", ()))
 """
 
 from __future__ import annotations

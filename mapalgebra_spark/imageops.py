@@ -48,10 +48,16 @@ def block_mean_resize(arr: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     one stage that touches every image of a 10^12-image table."""
     raw = np.asarray(arr)
     h, w = raw.shape[:2]
-    if h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w:
-        # divisible fast path (the 2^n thumbnail case): one integer
-        # reshape-sum straight off the uint8 input — exact int64 sums,
-        # same division as the general path, no float64 image copy
+    if (
+        np.issubdtype(raw.dtype, np.integer) and raw.dtype.itemsize == 1
+        and h % out_h == 0 and w % out_w == 0 and h >= out_h and w >= out_w
+    ):
+        # divisible 8-bit fast path (the 2^n thumbnail case): one
+        # integer reshape-sum straight off the uint8 input — exact
+        # int64 sums (can't overflow from 8-bit values), same division
+        # as the general path, no float64 image copy.  Float and wide-
+        # int inputs take the integral-image path below, which averages
+        # true values (an int64 sum would truncate fractions)
         bh, bw = h // out_h, w // out_w
         sums = raw.reshape((out_h, bh, out_w, bw) + raw.shape[2:]).sum(
             axis=(1, 3), dtype=np.int64

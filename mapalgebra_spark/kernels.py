@@ -37,6 +37,17 @@ APPROX_TOL = 0.0061359
 # ---------------------------------------------------------------------------
 
 
+def _float_block(p: np.ndarray) -> np.ndarray:
+    """float32/float64 blocks pass through unchanged (the float32 path
+    halves memory traffic for 8-bit imagery and is exact for its 3x3
+    sums); anything narrower — ints, bools, float16 — upcasts to
+    float64, preserving the original always-exact behaviour."""
+    a = np.asarray(p)
+    if np.issubdtype(a.dtype, np.floating) and a.dtype.itemsize >= 4:
+        return a
+    return a.astype(np.float64)
+
+
 def shifts(p: np.ndarray):
     """The 9 neighbourhood planes of a padded (h+2, w+2) block.
 
@@ -128,17 +139,16 @@ def plane_ab_raw(p: np.ndarray):
     terms; avoids materializing 9 facet planes — ~3x faster).  The SQL
     oracles use the same collected form so results stay bit-identical.
 
-    Dtype-preserving for float inputs: the oracle-checked paths pass
-    float64 blocks (FocalSpec cast="float64") and are bit-identical to
-    before; a float32 block runs the whole fit in float32 — half the
-    memory traffic, which is what the kernel is bound by (the flagship
-    bench uses this for 8-bit imagery, where |a|,|b| ≤ 319 and the fit
-    arithmetic is exact or 1-ulp in float32).  Integer inputs upcast to
-    float64 as always (3x3 sums would overflow narrow ints).
+    Dtype-preserving for float32/float64 inputs: the oracle-checked
+    paths pass float64 blocks (FocalSpec cast="float64") and are
+    bit-identical to before; a float32 block runs the whole fit in
+    float32 — half the memory traffic, which is what the kernel is
+    bound by (the flagship bench uses this for 8-bit imagery, where
+    |a|,|b| ≤ 319 and the fit arithmetic is exact or 1-ulp in
+    float32).  Integer and float16 inputs upcast to float64 as always
+    (3x3 sums would overflow narrow ints / lose float16 exactness).
     """
-    q = p if np.issubdtype(np.asarray(p).dtype, np.floating) else np.asarray(
-        p, dtype=np.float64
-    )
+    q = _float_block(p)
     nw, no, ne, we, _, ea, sw, so, se = shifts(q)
     # in-place accumulation with the SAME operation order as the
     # textbook form above — bit-identical results, ~3x fewer temp
@@ -224,13 +234,12 @@ def k_fproduct(p: np.ndarray) -> np.ndarray:
 def k_fmean(p: np.ndarray) -> np.ndarray:
     """Focal mean, border Fill 0 (MA:794-796).
 
-    Dtype-preserving for float inputs (float64 oracle paths unchanged;
-    float32 runs fully in float32 — sums of nine 8-bit pixels are exact
-    either way, the /9 differs by ≤1 ulp of float32).  Integer inputs
-    upcast to float64 (narrow-int 3x3 sums would overflow)."""
-    q = p if np.issubdtype(np.asarray(p).dtype, np.floating) else np.asarray(
-        p, dtype=np.float64
-    )
+    Dtype-preserving for float32/float64 inputs (float64 oracle paths
+    unchanged; float32 runs fully in float32 — sums of nine 8-bit
+    pixels are exact either way, the /9 differs by ≤1 ulp of float32).
+    Integer and float16 inputs upcast to float64 (narrow-int 3x3 sums
+    would overflow; float16 sums lose exactness past 2048)."""
+    q = _float_block(p)
     out = k_fsum(q)
     out /= 9.0
     return out

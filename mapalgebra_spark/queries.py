@@ -421,8 +421,14 @@ def q_knn_cells(spark, sf_dir):
     # the scale path must agree with the exact oracle
     pts = _customer_points(spark, sf_dir)
     qs = _supplier_queries(spark, sf_dir)
-    return SP.knn_cells(spark, qs, pts, k=5, level=5, max_ring=8).select(
-        "query_id", "point_id", "rank"
+    from mapalgebra_spark.cacheutil import attach_bases
+
+    out = SP.knn_cells(spark, qs, pts, k=5, level=5, max_ring=8)
+    # re-attach: DataFrame transformations produce new objects, so the
+    # persisted-base handles must be carried across the .select
+    return attach_bases(
+        out.select("query_id", "point_id", "rank"),
+        getattr(out, "_persisted_bases", ()),
     )
 
 
