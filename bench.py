@@ -137,12 +137,12 @@ def run_flagship(
     """fmean+fgradient over every tile of the tile table; returns
     tiles/sec (best of ``runs``) plus every run's seconds.
 
-    Protocol: the tile table is hash-partitioned on the halo key and
+    Protocol: the tile table is hash-partitioned by image and
     persisted OUTSIDE the timed region (at 100 TB this is the bucketed
     table at rest); one full UNTIMED pass warms Python workers, JIT
-    and the shuffle path; the timed region is then exactly one strip
-    shuffle + one cogrouped dual-kernel stage + sink — the steady-state
-    per-stage cost a long pipeline pays.  Kernels run in float32 (the
+    and the shuffle path; the timed region is then ONE exchange-free
+    stage (partition-local strips + halo join + dual kernel) + sink —
+    the steady-state per-stage cost a long pipeline pays.  Kernels run in float32 (the
     honest width for 8-bit imagery — 3x3 sums of uint8 are exact in
     float32; the oracle-checked grid queries keep full float64)."""
     if pin:
@@ -154,7 +154,6 @@ def run_flagship(
     from mapalgebra_spark.operators import focal as FO
     from mapalgebra_spark.raster import TileRaster
     from mapalgebra_spark.session import get_spark
-    from mapalgebra_spark.tiles import KEY_COLS
 
     part_mult = int(os.environ.get("SPARK_GRAFT_PART_MULT", "2"))
     # 16-row Arrow batches: fat tile rows pipeline JVM<->Python instead
@@ -199,11 +198,15 @@ def run_flagship(
         return outs["fmean"]._combined.count()
 
     try:
-        # tile table at rest (uint8 blobs — native image dtype; the
-        # kernel stage casts to float32 -> minimal JVM<->Python bytes)
+        # tile table at rest, partitioned by IMAGE (raster_id, band):
+        # focal halos never cross images, so with subset
+        # co-partitioning (session.py) the strips aggregate AND the
+        # halo join are partition-local — the whole focal job runs
+        # with ZERO exchanges (at 100 TB: no all-to-all strip shuffle
+        # at all).  uint8 blobs; the kernel stage casts to float32.
         src = (
             spark.read.parquet(img_path)
-            .repartition(cores * part_mult, *KEY_COLS)
+            .repartition(cores * part_mult, F.col("raster_id"), F.col("band"))
             .persist()
         )
         n_tiles = src.count()  # materialize input outside the timed region

@@ -61,6 +61,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # subset co-partitioning: a tile table partitioned by
+        # (raster_id, band) — the natural layout for image tables,
+        # where focal halos never cross images — already co-locates
+        # every (raster_id, band, ty, tx) join key; with this off (it
+        # defaults on) Spark re-shuffles BOTH sides of the halo join
+        # to the full key anyway.  Allowing subset co-partitioning
+        # makes focal ops over image-partitioned tables exchange-free
+        # (plan-asserted in tests/test_scale_plans.py).
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     if master.startswith("local"):
         # single-box shuffles land in the page cache; lz4-compressing

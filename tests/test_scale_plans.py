@@ -200,3 +200,50 @@ def test_textops_have_no_python_stages(spark):
     for name, plan in plans.items():
         for marker in ("EvalPython", "InPandas", "MapInArrow", "PythonUDF"):
             assert marker not in plan, f"{name}: {marker} in plan\n{plan[:2000]}"
+
+
+def test_focal_exchange_free_on_image_partitioned_table(spark):
+    """A tile table partitioned by IMAGE (raster_id, band) — the
+    natural layout for the 10^12-image table, where focal halos never
+    cross images — must run focal_multi with ZERO runtime exchanges:
+    the strips aggregate and halo join are both satisfied by subset
+    co-partitioning (session.py requireAllClusterKeysForCoPartition).
+    At 100 TB this deletes the all-to-all strip shuffle entirely."""
+    from dataclasses import replace as _rp
+
+    from mapalgebra_spark.operators import focal as FO
+
+    rng = np.random.default_rng(5)
+    tr = TileRaster.from_arrays(
+        spark,
+        {f"img{i}": rng.integers(0, 255, (19, 23)).astype(np.float64) for i in range(4)},
+        tile_size=7,
+    )
+    src = tr.df.repartition(4, F.col("raster_id"), F.col("band")).persist()
+    # materialize: an UNmaterialized cache under AQE hides its output
+    # partitioning (AdaptiveSparkPlan not final), so the planner would
+    # re-shuffle defensively.  The 100 TB posture is a bucketed table
+    # at rest — materialized by definition.
+    src.count()
+    try:
+        out = FO.focal_multi(
+            TileRaster(src),
+            [_rp(FO.FOCAL_OPS["fmean"], cast="float32"),
+             _rp(FO.FOCAL_OPS["fgradient"], cast="float32")],
+            repartition=False, persist_combined=False, out_dtype="float32",
+        )
+        plan = plan_of(out["fmean"]._combined)
+        # the ONLY Exchange allowed is the one INSIDE the cached
+        # relation (the repartition that built the table layout —
+        # executed once at persist time, not per focal run)
+        runtime = plan.split("InMemoryRelation")[0]
+        assert "Exchange" not in runtime, plan
+        assert "ENSURE_REQUIREMENTS" not in plan, plan
+        # and the results still match the unpartitioned reference path
+        got = out["fmean"].collect_array("img2")
+        ref = FO.fmean(TileRaster.from_arrays(
+            spark, {"img2": tr.collect_array("img2")}, tile_size=7
+        )).collect_array("img2")
+        np.testing.assert_allclose(got, ref, rtol=1e-6)
+    finally:
+        src.unpersist()
