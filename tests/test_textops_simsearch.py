@@ -236,3 +236,24 @@ def test_textops_local_references_match_spark(spark):
         assert lg[i] == TX.language_id_local(t), ("lang_id", t, lg[i])
         exp_sig = TX.minhash_signature_local(TX.shingle_hashes_local(t))
         assert sigs[i] == [int(x) for x in exp_sig], ("minhash", t)
+
+
+def test_operator_persist_lifecycle_unpersist_bases(spark):
+    """r2 advisor finding: operators persist self-join bases with no
+    drop path.  attach_bases must expose them on the result and
+    unpersist_bases must actually release the cached RDDs."""
+    from mapalgebra_spark import textops as TX
+    from mapalgebra_spark.cacheutil import unpersist_bases
+
+    def n_cached():
+        return len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    before = n_cached()
+    pairs = TX.minhash_lsh_pairs(docs, threshold=0.2)
+    pairs.count()  # materialize -> the shingle-set base is now cached
+    assert n_cached() > before
+    assert getattr(pairs, "_persisted_bases", None), "bases not attached"
+    unpersist_bases(pairs)
+    assert n_cached() == before
+    assert pairs._persisted_bases == []
