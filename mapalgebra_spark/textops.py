@@ -46,34 +46,14 @@ from .cacheutil import attach_bases
 P31 = 2147483647  # 2^31 - 1 (Mersenne): universal-hash modulus
 
 
-def _pin_no_codegen(df: DataFrame) -> DataFrame:
-    """Freeze ``df``'s physical plan with whole-stage codegen OFF.
-
-    The wide generated expressions in this module (26-letter x 8-lang
-    dot products, 60 conditional-sum simhash bits) cost janino+JIT
-    ~4-5s to compile while their interpreted execution measures within
-    5% of compiled (string/hash intrinsics dominate, not expression
-    glue) — so codegen is pure latency for these plans.  Spark has no
-    per-plan hint, but the physical plan is computed once and cached on
-    the DataFrame: force it while the session conf is flipped, then
-    restore.  Every OTHER plan in the session keeps codegen.
-
-    Scope: the pin holds for ``collect``/``toPandas``-style actions on
-    THIS DataFrame (they reuse the cached QueryExecution — the driver's
-    correctness harness path).  ``df.write`` builds a fresh
-    QueryExecution and replans under the session conf, so batch sinks
-    still compile; the bench harness instead absorbs one-time plan
-    compile with a small-SF warm pass (bench.py run_queries).
-    """
-    spark = df.sparkSession
-    key = "spark.sql.codegen.wholeStage"
-    old = spark.conf.get(key)
-    spark.conf.set(key, "false")
-    try:
-        df._jdf.queryExecution().executedPlan()
-    finally:
-        spark.conf.set(key, old)
-    return df
+# NOTE: an earlier round pinned the wide generated expressions below
+# (26-letter x 8-lang dot products, 60 conditional-sum simhash bits) to
+# interpreted mode because janino+JIT compile measured ~4-5s.  After the
+# session-level GC/janino fixes that cost is gone: re-measured fresh-JVM
+# cold runs show codegen-on beating the interpreted pin on BOTH cold and
+# warm executions for all three ops (lang_id 1.08/0.48s vs 1.82/0.70s;
+# simhash 2.12/1.77 vs 3.04/2.18; ngram 5.58/2.99 vs 6.43/3.12), so the
+# pin was removed and these plans compile like everything else.
 
 
 def h60(col) -> F.Column:
@@ -154,15 +134,21 @@ MH_A, MH_B = _minhash_params()
 
 
 def shingle_sets(docs: DataFrame) -> DataFrame:
-    """(doc_id, hs) — the distinct shingle-hash SET per document, as one
-    collect_set aggregate.  Shared upstream of both signature
-    computation and exact-Jaccard verification so the corpus is hashed
-    once."""
-    return (
-        shingle_hashes(docs, distinct=False)
-        .groupBy("doc_id")
-        .agg(F.collect_set("hh").alias("hs"))
-    )
+    """(doc_id, hs) — the distinct shingle-hash SET per document, as ONE
+    pure projection: ``array_distinct(transform(shingles, h31))``.
+
+    No explode, no aggregate: the shingle array never leaves its row,
+    so the only exchange is the round-robin-by-doc_id repartition that
+    parallelizes the md5 work (a document table often arrives as few
+    fat files — one input split would otherwise do ALL the hashing).
+    At 100 TB this is a single narrow map stage over the corpus versus
+    the previous explode → collect_set re-aggregation of ~50 rows per
+    document.  Shared upstream of both signature computation and
+    exact-Jaccard verification so the corpus is hashed once; hash-
+    partitioning by doc_id also pre-locates the doc_a/doc_b verify
+    joins downstream."""
+    hs = F.array_distinct(F.transform(F.expr(SHINGLES_SQL), lambda s: h31(s)))
+    return docs.repartition(F.col("doc_id")).select("doc_id", hs.alias("hs"))
 
 
 def _signature_cols(hs) -> list:
@@ -297,10 +283,8 @@ def ngram_jaccard_pairs(
         )
     )
     return attach_bases(
-        _pin_no_codegen(
-            j.filter(F.col("jaccard") >= threshold).select(
-                "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
-            )
+        j.filter(F.col("jaccard") >= threshold).select(
+            "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
         ),
         [sets],
     )
@@ -342,7 +326,7 @@ def simhash_df(docs: DataFrame) -> DataFrame:
             F.lit(0).cast("long")
         )
         acc = term if acc is None else acc + term
-    return _pin_no_codegen(votes.select("doc_id", acc.alias("simhash")))
+    return votes.select("doc_id", acc.alias("simhash"))
 
 
 def simhash_local(text: str) -> int:
@@ -467,7 +451,7 @@ def language_id(docs: DataFrame) -> DataFrame:
             cond = c if cond is None else cond & c
         pred = pred.when(cond, F.lit(lg))
     pred = pred.otherwise(F.lit(LANGS[-1]))
-    return _pin_no_codegen(staged.select("doc_id", pred.alias("lang_pred")))
+    return staged.select("doc_id", pred.alias("lang_pred"))
 
 
 def language_id_local(text: str) -> str:
