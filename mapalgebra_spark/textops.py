@@ -236,18 +236,19 @@ def _est_jaccard() -> F.Column:
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.7, k: int = SHINGLE_K) -> DataFrame:
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard) via banded LSH.
     Deterministic end-to-end (md5 hashes + fixed permutation constants)
-    — the DuckDB oracle recomputes the identical pipeline.  The shingle
-    sets are persisted: the band self-join references the signature
-    pipeline on BOTH sides, and without the persist Spark recomputes
-    the whole hash stage twice (no subplan sharing across a self-join)."""
-    sets = shingle_sets(docs).persist()
-    pairs = _lsh_candidates(minhash_signatures(docs, k, sets=sets))
+    — the DuckDB oracle recomputes the identical pipeline.  The
+    SIGNATURES are persisted (not just the shingle sets): the band
+    self-join references the signature pipeline on BOTH sides, and
+    persisting one level lower would recompute the 64 min-hash
+    transforms twice (no subplan sharing across a self-join)."""
+    sigs = minhash_signatures(docs, k).persist()
+    pairs = _lsh_candidates(sigs)
     est = pairs.withColumn("est_jaccard", _est_jaccard())
     return attach_bases(
         est.filter(F.col("est_jaccard") >= threshold).select(
             "doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard")
         ),
-        [sets],
+        [sigs],
     )
 
 
@@ -261,10 +262,11 @@ def ngram_jaccard_pairs(
     quadratic exact-verify stage; the Jaccard itself is
     array_intersect/array_union over DISTINCT shingle-hash sets — all
     JVM, no per-row Python.  The shingle sets are built ONCE and
-    persisted for the plan's three uses (signatures + both join sides)
-    instead of re-hashing the corpus per use."""
+    persisted for the verify joins (both sides), and the SIGNATURES are
+    persisted separately so the band self-join doesn't recompute the 64
+    min-hash transforms per side."""
     sets = shingle_sets(docs).persist()
-    sigs = minhash_signatures(docs, k, sets=sets)
+    sigs = minhash_signatures(docs, k, sets=sets).persist()
     cand = (
         _lsh_candidates(sigs)
         .withColumn("est", _est_jaccard())
@@ -286,7 +288,7 @@ def ngram_jaccard_pairs(
         j.filter(F.col("jaccard") >= threshold).select(
             "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
         ),
-        [sets],
+        [sets, sigs],
     )
 
 
