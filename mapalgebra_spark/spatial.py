@@ -140,26 +140,116 @@ def point_in_polygon_join(
 # ---------------------------------------------------------------------------
 
 
+#: slack (km) added to the per-partition kth numpy distance when
+#: prefiltering candidates.  numpy and JVM libm may disagree by a few
+#: ulp (~1e-9 km at Earth scale); 1e-6 km of slack makes the prefilter
+#: provably lossless while still discarding ~all non-candidates.
+_KNN_PREFILTER_SLACK_KM = 1e-6
+
+
 def knn_bruteforce(
-    queries: DataFrame, points: DataFrame, k: int = 5, broadcast_queries: bool = True
+    queries: DataFrame,
+    points: DataFrame,
+    k: int = 5,
+    broadcast_queries: bool = True,
+    partial: bool = True,
 ) -> DataFrame:
     """Exact kNN: for each query (query_id, lat, lng) the k nearest
     (point_id, lat, lng) by haversine; ties broken by point_id.
-    Query side broadcast (typical: queries ≪ points); distance is a
-    JVM-codegen column expression, ranking via window."""
+
+    ``partial=True`` (default): each *points* partition computes its
+    own distance matrix to the (driver-collected, dimension-contract)
+    query side in one Arrow/numpy batch and emits only candidates
+    within ``kth-local-distance + 1e-6 km`` per query — the top-k of a
+    union is the top-k of the union of per-partition top-ks, so only
+    ~n_partitions*k rows per query reach the final window instead of
+    the whole cross product (which otherwise shuffles |P|x|Q| rows into
+    a global sort).  Final distances and ranking are recomputed in the
+    JVM on the survivors, so results are bit-identical to the
+    single-window formulation: the numpy prefilter only has to be
+    *lossless*, which the +1e-6 km slack guarantees against libm-vs-JVM
+    ulp drift.
+
+    ``partial=False``: the literal one-window plan (kept as the
+    simplest-possible oracle formulation and for unbounded query
+    sides).  ``broadcast_queries`` only affects this path."""
     q = queries.select(
         F.col("query_id"), F.col("lat").alias("qlat"), F.col("lng").alias("qlng")
     )
-    if broadcast_queries:
-        q = F.broadcast(q)
     from pyspark.sql import Window
 
-    joined = points.crossJoin(q).withColumn(
+    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("point_id").asc())
+    if not partial:
+        qq = F.broadcast(q) if broadcast_queries else q
+        joined = points.crossJoin(qq).withColumn(
+            "dist_km", haversine_col(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng"))
+        )
+        return (
+            joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "point_id", "rank", "dist_km")
+        )
+
+    # dimension-side contract (same data movement as the broadcast in
+    # the window path): the query table is collected once to the driver
+    # and shipped inside the task closure.
+    qpd = q.toPandas()
+    qids = qpd["query_id"].to_numpy()
+    qlat = qpd["qlat"].to_numpy(np.float64)
+    qlng = qpd["qlng"].to_numpy(np.float64)
+    q_id_type = q.schema["query_id"].dataType
+    p_id_type = points.schema["point_id"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("query_id", q_id_type),
+            T.StructField("point_id", p_id_type),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lng", T.DoubleType()),
+            T.StructField("qlat", T.DoubleType()),
+            T.StructField("qlng", T.DoubleType()),
+        ]
+    )
+    kk_cols = ["query_id", "point_id", "lat", "lng", "qlat", "qlng"]
+
+    def local_topk(batches):
+        for pdf in batches:
+            if not len(pdf) or not len(qids):
+                yield pd.DataFrame({c: [] for c in kk_cols})
+                continue
+            plat = pdf["lat"].to_numpy(np.float64)
+            plng = pdf["lng"].to_numpy(np.float64)
+            # (n_points, n_queries) distance matrix, one vectorized op
+            d = CI.haversine_km(
+                plat[:, None], plng[:, None], qlat[None, :], qlng[None, :]
+            )
+            kth = np.partition(d, min(k, len(plat)) - 1, axis=0)[min(k, len(plat)) - 1]
+            rows, cols = np.nonzero(d <= kth[None, :] + _KNN_PREFILTER_SLACK_KM)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[cols],
+                    "point_id": pdf["point_id"].to_numpy()[rows],
+                    "lat": plat[rows],
+                    "lng": plng[rows],
+                    "qlat": qlat[cols],
+                    "qlng": qlng[cols],
+                }
+            )
+
+    cand = points.select("point_id", F.col("lat").cast("double"), F.col("lng").cast("double"))
+    # a few-fat-files table would run the whole scan in one task; fan
+    # out first.  A big (100 TB) table already has >= defaultParallelism
+    # splits and skips this shuffle entirely.  Arrow batching bounds the
+    # per-batch distance matrix to maxRecordsPerBatch x |Q| doubles, and
+    # the prefilter applies per batch (the union argument holds batch-
+    # wise), so executor memory stays flat regardless of partition size.
+    par = points.sparkSession.sparkContext.defaultParallelism
+    if cand.rdd.getNumPartitions() < par:
+        cand = cand.repartition(par)
+    surv = cand.mapInPandas(local_topk, schema).withColumn(
         "dist_km", haversine_col(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("point_id").asc())
     return (
-        joined.withColumn("rank", F.row_number().over(w))
+        surv.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "point_id", "rank", "dist_km")
     )
@@ -224,8 +314,13 @@ def knn_cells(
         F.count("*").alias("found"), F.max("dist_km").alias("kth")
     )
     bad = per_q.filter((F.col("found") < k) | (F.col("kth") > bound_km)).select("query_id")
+    # partial=False: the straggler set is tiny (usually empty) and the
+    # partial path's driver-side query collect would break this plan's
+    # laziness — the literal window plan stays one lazy subtree that
+    # AQE elides when `bad` is empty.
     fallback = knn_bruteforce(
-        queries.join(F.broadcast(bad), on="query_id", how="inner"), points, k
+        queries.join(F.broadcast(bad), on="query_id", how="inner"), points, k,
+        partial=False,
     )
     good = topk.join(F.broadcast(bad), on="query_id", how="left_anti")
     return attach_bases(good.unionByName(fallback), [pts, topk])

@@ -174,6 +174,28 @@ def test_knn_bruteforce_and_cells_agree(spark):
     assert bset == cset
 
 
+def test_knn_partial_matches_window_plan(spark):
+    """The per-partition numpy prefilter must be lossless: the partial
+    path's (query_id, point_id, rank) AND its JVM-recomputed distances
+    must equal the literal one-window plan's exactly."""
+    points, _ = _points_df(spark, n=2000, seed=9)
+    rng = np.random.default_rng(10)
+    queries = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [f"q{i}" for i in range(25)],
+                "lat": rng.uniform(-60, 60, 25),
+                "lng": rng.uniform(-170, 170, 25),
+            }
+        )
+    )
+    a = SP.knn_bruteforce(queries, points, k=5, partial=True).collect()
+    b = SP.knn_bruteforce(queries, points, k=5, partial=False).collect()
+    ka = {(r["query_id"], r["point_id"]): (r["rank"], r["dist_km"]) for r in a}
+    kb = {(r["query_id"], r["point_id"]): (r["rank"], r["dist_km"]) for r in b}
+    assert ka == kb  # exact, including float64 distances (same JVM expr)
+
+
 def test_zonal_by_polygon(spark):
     images = datagen.generate_images_df(spark, 8)
     tr = ingest.tiles_from_images(images, tile_size=256, cell_level=3)
