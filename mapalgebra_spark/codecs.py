@@ -10,6 +10,8 @@ Formats supported:
 - ``qdct`` — LOSSY: JPEG-style 8x8 DCT quantization + zlib, gated at
              PSNR >= 40 dB per BASELINE.json input_hint (tested in
              tests/test_codecs_cellindex.py).
+- ``jpeg`` — real baseline T.81/JFIF (jpeg.py: Huffman entropy coding,
+             4:4:4 / 4:2:0, restart markers), same PSNR gate.
 
 The reference reads TIFF/PNG via massiv-io (``fromRGBA``/``fromGray``,
 MapAlgebra.hs:544-591) and encodes PNG (``png``, MapAlgebra.hs:671-673);
@@ -149,6 +151,10 @@ def encode_image(arr: np.ndarray, fmt: str) -> bytes:
         from .tiff import tiff_encode
 
         return tiff_encode(arr)
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import jpeg_encode
+
+        return jpeg_encode(arr)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
@@ -175,6 +181,10 @@ def decode_image(data: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         from .tiff import tiff_decode
 
         return tiff_decode(data)
+    if fmt in ("jpeg", "jpg"):
+        from .jpeg import jpeg_decode
+
+        return jpeg_decode(data)
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

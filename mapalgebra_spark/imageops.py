@@ -4,13 +4,15 @@ columns with typed metadata.
 The Spark-side plumbing (schemas, Arrow batch shape, partitioning) is
 real and tested; payload transforms fall into two classes:
 
-- **real**: PNG/raw/npy decode (stdlib codec), block-mean resize,
-  grayscale collapse, perceptual hash — pure numpy.
-- **stubbed**: JPEG decode, audio decode, video frame extraction — the
-  sandbox has no Pillow/ffmpeg/torchcodec, so these raise
-  ``NotImplementedError`` behind an import-try (``_HAS_*`` flags), or
-  produce a clearly-marked deterministic fake when ``allow_fake=True``
-  so pipelines exercising the plumbing stay runnable end-to-end.
+- **real**: PNG/raw/npy/TIFF/qdct/JPEG decode (all from-scratch codecs
+  — jpeg.py is a real baseline T.81 implementation), block-mean
+  resize, grayscale collapse, perceptual hash — pure numpy.
+- **stubbed**: vision-model embeddings, audio decode, video frame
+  extraction — the sandbox has no model weights/ffmpeg/torchcodec, so
+  these raise ``NotImplementedError`` behind an import-try
+  (``_HAS_*`` flags), or produce a clearly-marked deterministic fake
+  when ``allow_fake=True`` so pipelines exercising the plumbing stay
+  runnable end-to-end.
 """
 
 from __future__ import annotations
