@@ -245,15 +245,22 @@ def test_operator_persist_lifecycle_unpersist_bases(spark):
     from mapalgebra_spark import textops as TX
     from mapalgebra_spark.cacheutil import unpersist_bases
 
-    def n_cached():
-        return len(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+    def cached_ids():
+        # track specific RDD ids, not a global count: Spark's async
+        # ContextCleaner may drop unrelated caches from earlier tests
+        # mid-assertion, which made a count-based check order-flaky
+        return {
+            int(str(x))
+            for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
 
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    before = n_cached()
+    before = cached_ids()
     pairs = TX.minhash_lsh_pairs(docs, threshold=0.2)
     pairs.count()  # materialize -> the shingle-set base is now cached
-    assert n_cached() > before
+    added = cached_ids() - before
+    assert added, "operator did not cache its self-join base"
     assert getattr(pairs, "_persisted_bases", None), "bases not attached"
     unpersist_bases(pairs)
-    assert n_cached() == before
+    assert not (cached_ids() & added), "operator caches not released"
     assert pairs._persisted_bases == []
