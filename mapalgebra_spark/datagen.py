@@ -125,3 +125,64 @@ def generate_images_df(
 def write_images(spark: SparkSession, n: int, path: str):
     generate_images_df(spark, n).write.mode("overwrite").parquet(path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# synthetic audio table (audioops.py consumers)
+# ---------------------------------------------------------------------------
+
+AUDIO_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("sr", T.IntegerType()),
+        T.StructField("n_samples", T.IntegerType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("caption", T.StringType()),
+    ]
+)
+
+
+def render_clip(i: int, sr: int = 8000, seconds: float = 1.0) -> np.ndarray:
+    """Deterministic int16 mono clip for index i: 2-3 harmonics with
+    seeded frequencies/phases + mild noise, amplitude-enveloped so
+    silence/RMS features have structure."""
+    rng = np.random.default_rng(1000 + i)
+    n = int(sr * seconds)
+    t = np.arange(n) / sr
+    x = np.zeros(n)
+    for _ in range(rng.integers(2, 4)):
+        f = rng.uniform(80, sr / 2.5)
+        x += rng.uniform(0.2, 1.0) * np.sin(2 * np.pi * f * t + rng.uniform(0, 2 * np.pi))
+    env = 0.2 + 0.8 * np.abs(np.sin(2 * np.pi * rng.uniform(0.3, 1.5) * t))
+    x = x * env + rng.normal(0, 0.01, n)
+    x = x / max(np.abs(x).max(), 1e-9) * 0.8
+    return (x * 32767).astype(np.int16)
+
+
+def generate_audio_df(
+    spark: SparkSession, n: int, num_partitions: int | None = None, sr: int = 8000
+) -> DataFrame:
+    """Distributed generation of n WAV clips (same mapInPandas shape as
+    generate_images_df — bench-scale tables never pass the driver)."""
+    from . import audioops
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                clip = render_clip(int(i), sr=sr)
+                rows.append(
+                    dict(
+                        audio_id=f"clip{int(i):08d}",
+                        bytes=audioops.wav_encode(clip, sr),
+                        sr=sr,
+                        n_samples=len(clip),
+                        fmt="wav",
+                        caption=f"synthetic tone {int(i)} seed1000",
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_TABLE_SCHEMA.fields])
+
+    parts = num_partitions or max(1, min(n, 64))
+    return spark.range(0, n, numPartitions=parts).mapInPandas(gen, AUDIO_TABLE_SCHEMA)
