@@ -241,34 +241,65 @@ def phash_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     )
 
 
-AUDIO_SCHEMA = T.StructType(
+FRAME_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.StringType()),
         T.StructField("frame_idx", T.IntegerType()),
         T.StructField("frame", T.BinaryType()),
     ]
 )
+AUDIO_SCHEMA = FRAME_SCHEMA  # historical alias
 
 
 def video_frame_sample(media: DataFrame, every_n: int = 30, allow_fake: bool = False) -> DataFrame:
-    """Frame-sampling stage for video binary columns.  STUB: no ffmpeg
-    in the sandbox.  With allow_fake=True, emits deterministic
-    pseudo-frames (seeded from the media id) so schema/partitioning/
-    batch-shape are exercised; otherwise NotImplementedError."""
-    if not allow_fake:
-        raise NotImplementedError("video_frame_sample: no ffmpeg/av backend available")
+    """Frame-sampling stage for video binary columns.
+
+    fmt ``'mjpeg-avi'`` decodes for REAL (video.py container walk +
+    jpeg.py frame decode — skipped frames never pay the IDCT); frames
+    come back as png-encoded binary.  Compressed codecs (h264 etc.)
+    have no sandbox backend: NotImplementedError, or deterministic
+    pseudo-frames with ``allow_fake=True`` (same stub contract as the
+    other media ops).  A media table without a ``fmt`` column is
+    treated as all-unknown (the pre-round-3 behavior)."""
 
     def run(batches):
+        from . import video as VV
+
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for r in range(len(pdf)):
-                mid = pdf.iloc[r]["media_id"]
-                seed = int.from_bytes(hashlib.md5(mid.encode()).digest()[:4], "big")
-                rng = np.random.default_rng(seed)
-                for k in range(3):  # fake: 3 sampled frames
-                    ids.append(mid)
-                    idxs.append(k * every_n)
-                    frames.append(rng.integers(0, 256, (16, 16), dtype=np.uint8).tobytes())
+                row = pdf.iloc[r]
+                mid = row["media_id"]
+                fmt = row["fmt"] if "fmt" in pdf.columns else None
+                if fmt == "mjpeg-avi":
+                    for i, arr in VV.sample_frames(bytes(row["bytes"]), every_n):
+                        ids.append(mid)
+                        idxs.append(i)
+                        frames.append(codecs.png_encode(_as_gray_or_rgba(arr)))
+                elif allow_fake:
+                    seed = int.from_bytes(hashlib.md5(mid.encode()).digest()[:4], "big")
+                    rng = np.random.default_rng(seed)
+                    for k in range(3):  # fake: 3 sampled frames
+                        ids.append(mid)
+                        idxs.append(k * every_n)
+                        frames.append(
+                            rng.integers(0, 256, (16, 16), dtype=np.uint8).tobytes()
+                        )
+                else:
+                    raise NotImplementedError(
+                        f"video_frame_sample: no backend for fmt {fmt!r} "
+                        "(mjpeg-avi is built in; pass allow_fake=True to stub)"
+                    )
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
-    return media.mapInPandas(run, AUDIO_SCHEMA)
+    return media.mapInPandas(run, FRAME_SCHEMA)
+
+
+def _as_gray_or_rgba(arr: np.ndarray) -> np.ndarray:
+    """The engine's png codec writes gray or RGBA; widen RGB frames."""
+    if arr.ndim == 2 or (arr.ndim == 3 and arr.shape[2] == 4):
+        return arr
+    out = np.empty((*arr.shape[:2], 4), np.uint8)
+    out[..., :3] = arr
+    out[..., 3] = 255
+    return out
