@@ -198,3 +198,63 @@ def build_prepare_images_job(
         )
 
     return job
+
+
+def build_prepare_audio_job(
+    spark: SparkSession,
+    audio_path: str,
+    out: str,
+    job_id: str = "prepare_audio",
+    max_hamming: int = 8,
+    min_duration_s: float = 0.2,
+    max_silence_ratio: float = 0.6,
+    min_rms: float = 0.01,
+) -> Job:
+    """The audio-payload curation analog of :func:`build_prepare_job`:
+
+      audio      — source clip table (audio_id, bytes, sr, n_samples,
+                   fmt, caption)
+      features   — decode once → scalar features + 64-bit
+                   Haitsma-Kalker fingerprint (one Arrow stage; samples
+                   never leave it again)
+      near_dedup — fingerprint-hamming pairs (chunk-bucketed banded
+                   self-join, never a cross join); a clip drops iff it
+                   near-duplicates a lexicographically-smaller audio_id
+                   (pairs oriented id_a < id_b → every cluster keeps
+                   its smallest member via one anti-join)
+      filtered   — quality gates on the tiny feature rows (decode-free):
+                   too-short, too-silent, or near-zero-energy clips cull.
+
+    Same 100 TB shape as the image job: full-resolution bytes are read
+    exactly once (features stage); dedup + gating touch only scalar
+    feature rows."""
+    from . import audioops as AU
+
+    job = Job(spark, out, job_id)
+
+    @job.stage("audio")
+    def audio(spark, _):
+        return spark.read.parquet(audio_path)
+
+    @job.stage("features", inputs=["audio"])
+    def features(spark, ins):
+        return AU.audio_features(ins["audio"])
+
+    @job.stage("near_dedup", inputs=["audio", "features"])
+    def near_dedup(spark, ins):
+        pairs = AU.audio_near_pairs(
+            ins["features"].select("audio_id", "fingerprint"), max_hamming=max_hamming
+        )
+        dupes = pairs.select(F.col("clip_b").alias("audio_id")).distinct()
+        return ins["audio"].join(dupes, on="audio_id", how="left_anti")
+
+    @job.stage("filtered", inputs=["near_dedup", "features"])
+    def filtered(spark, ins):
+        gates = ins["features"].filter(
+            (F.col("duration_s") >= min_duration_s)
+            & (F.col("silence_ratio") <= max_silence_ratio)
+            & (F.col("rms") >= min_rms)
+        )
+        return ins["near_dedup"].join(gates.select("audio_id"), on="audio_id", how="inner")
+
+    return job

@@ -105,3 +105,49 @@ def test_prepare_images_pipeline(spark, tmp_path):
     build_prepare_images_job(spark, path, out, job_id="imgprep", max_hamming=2).run()
     after = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
     assert after == before
+
+
+def test_prepare_audio_job(spark, tmp_path):
+    import numpy as np
+    import pandas as pd
+
+    from mapalgebra_spark import audioops as AU
+    from mapalgebra_spark.datagen import generate_audio_df, render_clip
+    from mapalgebra_spark.pipelines import build_prepare_audio_job
+
+    base = generate_audio_df(spark, 8, sr=8000).toPandas()
+    # plant: a noisy near-copy of clip 0, a silent clip, a too-short blip
+    rng = np.random.default_rng(5)
+    c0 = render_clip(0, sr=8000)
+    noisy = np.clip(
+        c0.astype(np.int32) + rng.integers(-60, 61, len(c0)), -32768, 32767
+    ).astype(np.int16)
+    extra = pd.DataFrame(
+        [
+            dict(audio_id="zzz_dup_of_first", bytes=AU.wav_encode(noisy, 8000),
+                 sr=8000, n_samples=len(noisy), fmt="wav", caption="dup"),
+            dict(audio_id="zzz_silent", bytes=AU.wav_encode(np.zeros(8000, np.int16), 8000),
+                 sr=8000, n_samples=8000, fmt="wav", caption="silence"),
+            dict(audio_id="zzz_blip", bytes=AU.wav_encode(render_clip(1, sr=8000)[:400], 8000),
+                 sr=8000, n_samples=400, fmt="wav", caption="too short"),
+        ]
+    )
+    pdf = pd.concat([base, extra], ignore_index=True)
+    path = str(tmp_path / "clips.parquet")
+    spark.createDataFrame(pdf).write.parquet(path)
+
+    out = str(tmp_path / "job")
+    job = build_prepare_audio_job(spark, path, out, job_id="audprep")
+    outs = job.run()
+    ids = {r["audio_id"] for r in outs["filtered"].select("audio_id").collect()}
+    assert "clip00000000" in ids          # original survives
+    assert "zzz_dup_of_first" not in ids  # near-duplicate dropped
+    assert "zzz_silent" not in ids        # silence gate
+    assert "zzz_blip" not in ids          # duration gate
+    assert len(ids) == 8                  # nothing else culled
+    # resume leaves snapshots untouched
+    snaps = os.path.join(out, "snapshots", "audprep")
+    before = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
+    build_prepare_audio_job(spark, path, out, job_id="audprep").run()
+    after = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
+    assert after == before
