@@ -657,6 +657,11 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     if scan_data is None or not comps:
         raise ValueError("jpeg: no scan data")
 
+    if len(comps) == 1:
+        # T.81 A.2: a single-component scan is non-interleaved — one
+        # data unit per MCU in the component's own block raster,
+        # whatever sampling factors the SOF declared
+        comps[0].hs = comps[0].vs = 1
     hmax = max(c.hs for c in comps)
     vmax = max(c.vs for c in comps)
     mcux = -(-w // (8 * hmax))

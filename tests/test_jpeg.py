@@ -289,3 +289,16 @@ def test_thumbnails_over_jpeg_table(spark):
         if len(a) != len(b):  # RGBA rows: jpeg drops alpha (255) -> 3 chans
             b = b.reshape(16, 16, 4)[..., :3].ravel()
         assert np.abs(a - b).mean() < 4.0  # decode-fidelity bound
+
+
+def test_single_component_scan_ignores_sampling_factors():
+    """T.81 A.2: a one-component scan is non-interleaved (1 data unit
+    per MCU) no matter what sampling factors the SOF declares — a
+    foreign grayscale stream with 2x2 factors must decode like 1x1."""
+    pix = (np.arange(48 * 80).reshape(48, 80) % 251).astype(np.uint8)
+    enc = bytearray(J.jpeg_encode(pix, quality=95))
+    sof = bytes(enc).find(b"\xff\xc0")
+    samp_pos = sof + 2 + 2 + 1 + 4 + 1 + 1  # first component's samp byte
+    assert enc[samp_pos] == 0x11
+    enc[samp_pos] = 0x22
+    assert np.array_equal(J.jpeg_decode(bytes(enc)), J.jpeg_decode(J.jpeg_encode(pix, quality=95)))
