@@ -246,8 +246,16 @@ def audio_near_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame:
     ``audio_id`` + 64-bit ``fingerprint``).  Banded exactly like
     imageops.phash_near_pairs: candidates must share one exact 16-bit
     chunk of 4 (guaranteed for hamming <= 3; recall-oriented above),
-    so the self-join meets only inside chunk buckets."""
-    chunks = features.select(
+    so the self-join meets only inside chunk buckets.
+
+    The (id, fingerprint) base is persisted — Spark computes an
+    unpersisted subplan once PER JOIN SIDE, and here that subplan is
+    the decode-everything feature stage.  The handle is attached to
+    the result (cacheutil) so callers can drop it after materializing."""
+    from .cacheutil import attach_bases
+
+    base = features.select("audio_id", "fingerprint").persist()
+    chunks = base.select(
         F.col("audio_id"),
         F.col("fingerprint"),
         F.explode(
@@ -270,7 +278,7 @@ def audio_near_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame:
         F.col("ck.key").alias("key"),
     )
     l, r = chunks.alias("l"), chunks.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             on=[
@@ -290,3 +298,4 @@ def audio_near_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("clip_a", "clip_b", "hamming")
     )
+    return attach_bases(pairs, [base])

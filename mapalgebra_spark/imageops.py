@@ -198,8 +198,16 @@ def phash_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     bucketed on 16-bit phash chunks (same banding as textops.simhash:
     a pair within hamming<=3 shares at least one exact chunk of 4;
     larger budgets are recall-oriented).  Join is chunk-bucketed —
-    never a full cross join."""
-    chunks = images.select(
+    never a full cross join.
+
+    The (id, phash) base is persisted — an unpersisted subplan runs
+    once PER JOIN SIDE, and when the caller passes thumbnails() output
+    directly that subplan decodes every image.  Handle attached via
+    cacheutil for post-materialization release."""
+    from .cacheutil import attach_bases
+
+    base = images.select("image_id", "phash").persist()
+    chunks = base.select(
         F.col("image_id"),
         F.col("phash"),
         F.explode(
@@ -219,7 +227,7 @@ def phash_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
         "image_id", "phash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
     )
     l, r = chunks.alias("l"), chunks.alias("r")
-    return (
+    pairs = (
         l.join(
             r,
             on=[
@@ -239,6 +247,7 @@ def phash_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("img_a", "img_b", "hamming")
     )
+    return attach_bases(pairs, [base])
 
 
 FRAME_SCHEMA = T.StructType(

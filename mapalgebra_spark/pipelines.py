@@ -160,11 +160,19 @@ def build_prepare_images_job(
 
     @job.stage("near_dedup", inputs=["images", "thumbs"])
     def near_dedup(spark, ins):
+        from .cacheutil import attach_bases
+
         pairs = IO.phash_near_pairs(
             ins["thumbs"].select("image_id", "phash"), max_hamming=max_hamming
         )
         dupes = pairs.select(F.col("img_b").alias("image_id")).distinct()
-        return ins["images"].join(dupes, on="image_id", how="left_anti")
+        # carry the operator's persisted base forward so Job.run's
+        # post-commit unpersist_bases releases it (cacheutil caveat:
+        # derived DataFrames drop the attribute)
+        return attach_bases(
+            ins["images"].join(dupes, on="image_id", how="left_anti"),
+            getattr(pairs, "_persisted_bases", ()),
+        )
 
     @job.stage("filtered", inputs=["near_dedup", "thumbs"])
     def filtered(spark, ins):
@@ -242,11 +250,16 @@ def build_prepare_audio_job(
 
     @job.stage("near_dedup", inputs=["audio", "features"])
     def near_dedup(spark, ins):
+        from .cacheutil import attach_bases
+
         pairs = AU.audio_near_pairs(
             ins["features"].select("audio_id", "fingerprint"), max_hamming=max_hamming
         )
         dupes = pairs.select(F.col("clip_b").alias("audio_id")).distinct()
-        return ins["audio"].join(dupes, on="audio_id", how="left_anti")
+        return attach_bases(
+            ins["audio"].join(dupes, on="audio_id", how="left_anti"),
+            getattr(pairs, "_persisted_bases", ()),
+        )
 
     @job.stage("filtered", inputs=["near_dedup", "features"])
     def filtered(spark, ins):
