@@ -254,6 +254,12 @@ def test_operator_persist_lifecycle_unpersist_bases(spark):
             for x in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
         }
 
+    # a previous test may have left the IDENTICAL shingle-base plan
+    # cached (never unpersisted): CacheManager then answers persist()
+    # with "already cached" reuse and no new RDD id ever appears,
+    # failing the `added` assertion below.  Start from a clean cache so
+    # the lifecycle under test is self-contained.
+    spark.catalog.clearCache()
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     before = cached_ids()
     pairs = TX.minhash_lsh_pairs(docs, threshold=0.2)
