@@ -309,8 +309,9 @@ def _drop_caches(spark, keep) -> None:
 def run_queries(sf_dir: str) -> tuple[dict[str, float], float]:
     """Per-query wall times for the SURVEY §2 registry at sf_dir.
 
-    The shared lineitem→grid build (a one-time single-task sort the
-    100 TB path never runs — gridq.py docstring) is materialized FIRST
+    The shared lineitem→grid build (a distributed bucketed rank —
+    gridq.py docstring; the 100 TB hot path is the image/tile
+    pipeline) is materialized FIRST
     and reported separately as ``grid_build_sec``, so per-operator
     regressions aren't masked by first-touch harness cost."""
     from mapalgebra_spark.session import get_spark
