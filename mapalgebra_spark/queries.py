@@ -1350,6 +1350,142 @@ FROM tokf GROUP BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# multimodal contract queries — image / audio / video ops exercised
+# end-to-end (real codecs, no stubs) with arithmetically reconstructible
+# oracles: inputs are deterministic synthetic media tables with EXACT
+# byte-duplicates planted on a fixed index formula, the ops run at
+# max_hamming=0, so the expected output is the planted-pair list itself
+# (no accidental 64-bit hash collisions at any shipped sf — asserted by
+# tests/test_multimodal_queries.py), which DuckDB rebuilds from the
+# same formula over the dense documents.doc_id range.
+# ---------------------------------------------------------------------------
+
+
+def _mm_n(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic multimodal table size for an sf: derived from the
+    documents row count (same formula inlined in the DuckDB oracles:
+    least(128, greatest(48, count(*)//10))).  Capped at 128: the
+    synthetic image set's first accidental 64-bit phash collision
+    between DISTINCT images sits at index pair (57, 137) — capping
+    below 137 keeps "hamming-0 pairs == planted pairs" exact (pinned
+    by tests/test_multimodal_queries.py)."""
+    nd = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return min(128, max(48, nd // 10))
+
+
+def q_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup through the real decode → block-mean thumbnail
+    → phash → 16-bit-chunk-bucketed hamming self-join path
+    (imageops.thumbnails + phash_near_pairs).  n synthetic images
+    (raw/npy lossless formats), an exact byte-duplicate planted under
+    id 'z<image_id>' for every index divisible by 7; at max_hamming=0
+    the result is exactly the planted pairs."""
+    from .datagen import generate_images_df
+    from .imageops import phash_near_pairs, thumbnails
+
+    n = _mm_n(spark, sf_dir)
+    imgs = generate_images_df(spark, n, fmts=["raw", "npy"])
+    idx = F.regexp_extract("image_id", r"(\d+)", 1).cast("long")
+    dups = imgs.filter(idx % 7 == 0).withColumn(
+        "image_id", F.concat(F.lit("z"), F.col("image_id"))
+    )
+    return phash_near_pairs(thumbnails(imgs.unionByName(dups)), max_hamming=0)
+
+
+ORACLE["image_near_dup"] = """
+WITH nn AS (SELECT least(128, greatest(48, count(*)//10)) AS n FROM documents)
+SELECT format('img{:08d}', doc_id) AS img_a,
+       format('zimg{:08d}', doc_id) AS img_b,
+       0 AS hamming
+FROM documents, nn WHERE doc_id < nn.n AND doc_id % 7 = 0
+"""
+
+
+def q_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dedup through the real WAV decode → spectral
+    fingerprint → chunk-bucketed hamming self-join path
+    (audioops.audio_features + audio_near_pairs).  n synthetic clips,
+    an exact byte-duplicate planted under 'z<audio_id>' for every
+    index divisible by 5; at max_hamming=0 the result is exactly the
+    planted pairs."""
+    from .audioops import audio_features, audio_near_pairs
+    from .datagen import generate_audio_df
+
+    n = _mm_n(spark, sf_dir)
+    clips = generate_audio_df(spark, n)
+    idx = F.regexp_extract("audio_id", r"(\d+)", 1).cast("long")
+    dups = clips.filter(idx % 5 == 0).withColumn(
+        "audio_id", F.concat(F.lit("z"), F.col("audio_id"))
+    )
+    return audio_near_pairs(audio_features(clips.unionByName(dups)), max_hamming=0)
+
+
+ORACLE["audio_near_dup"] = """
+WITH nn AS (SELECT least(128, greatest(48, count(*)//10)) AS n FROM documents)
+SELECT format('clip{:08d}', doc_id) AS clip_a,
+       format('zclip{:08d}', doc_id) AS clip_b,
+       0 AS hamming
+FROM documents, nn WHERE doc_id < nn.n AND doc_id % 5 = 0
+"""
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the real MJPEG-AVI path: m media
+    blobs built distributedly (video.avi_encode — media i holds
+    6 + i%5 deterministic 48x32 frames), every 3rd frame decoded via
+    the container walk + JPEG decoder (skipped frames never pay the
+    IDCT), aggregated per media.  The oracle reconstructs the sampled
+    frame count and last index arithmetically — a genuine check that
+    the AVI walker surfaces exactly the frames the container holds."""
+    import pandas as pd
+
+    m = max(8, _mm_n(spark, sf_dir) // 6)
+
+    def gen(batches):
+        from . import video as VV
+        from .datagen import render_pixels
+
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                nf = 6 + i % 5
+                frames = [
+                    render_pixels(1000 + i * 31 + k, 48, 32, False) for k in range(nf)
+                ]
+                rows.append(
+                    dict(
+                        media_id=f"vid{i:06d}",
+                        bytes=VV.avi_encode(frames, fps=10),
+                        fmt="mjpeg-avi",
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "fmt"])
+
+    media = spark.range(0, m, numPartitions=min(m, 16)).mapInPandas(
+        gen, "media_id string, bytes binary, fmt string"
+    )
+    from .imageops import video_frame_sample
+
+    frames = video_frame_sample(media, every_n=3)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"), F.max("frame_idx").alias("max_idx")
+    )
+
+
+ORACLE["video_frames"] = """
+WITH nn AS (
+  SELECT greatest(8, least(128, greatest(48, count(*)//10))//6) AS m FROM documents
+),
+media AS (SELECT doc_id AS i, 6 + doc_id % 5 AS nf FROM documents, nn WHERE doc_id < nn.m)
+SELECT format('vid{:06d}', i) AS media_id,
+       CAST((nf + 2) // 3 AS BIGINT) AS n_frames,
+       CAST(3 * ((nf - 1) // 3) AS INT) AS max_idx
+FROM media
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1428,4 +1564,9 @@ QUERIES = {
     "histogram_int_grid": q_histogram_int,
     "histogram_float_grid": q_histogram_float,
     "doc_quality": q_doc_quality,
+    # ---- multimodal ops through the real codecs (oracle = planted-
+    # duplicate / arithmetic reconstruction; see section docstring) ----
+    "image_near_dup": q_image_near_dup,
+    "audio_near_dup": q_audio_near_dup,
+    "video_frames": q_video_frames,
 }
