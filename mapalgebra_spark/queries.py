@@ -369,6 +369,42 @@ def q_faspect(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "faspect", "fasp", round6=True, nan_to_null=True)
 
 
+def _corners_encoded(tr):
+    """Corners 4-plane stack → one base-5 encoded plane
+    (c_tl + 5·c_bl + 25·c_br + 125·c_tr, Surround codes 0-4 → < 625,
+    exact in float64) so the oracle can hash-compare all four planes
+    in a single column."""
+    import numpy as np
+
+    def enc(c):
+        return (
+            c[0].astype(np.int64) + 5 * c[1].astype(np.int64)
+            + 25 * c[2].astype(np.int64) + 125 * c[3].astype(np.int64)
+        ).astype(np.float64)
+
+    return tr.map(enc)
+
+
+def q_fpartition(spark, sf_dir):
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    return tiles_to_rows(_corners_encoded(FO.fpartition(tr)), "cenc")
+
+
+def q_fshape(spark, sf_dir):
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    return tiles_to_rows(_corners_encoded(FO.fshape(tr)), "cenc")
+
+
+def q_ffrontage(spark, sf_dir):
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    return _r6(tiles_to_rows(FO.ffrontage(FO.fshape(tr)), "ffront"), "ffront")
+
+
+def q_farea(spark, sf_dir):
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    return _r6(tiles_to_rows(FO.farea(FO.fshape(tr)), "farea"), "farea")
+
+
 def q_flinkage(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "flinkage", "flink", col="ival", dtype="int64")
 
@@ -906,6 +942,84 @@ SELECT gy, gx,
                             WHEN a/sqrt(a*a + b*b) < -1.0 THEN -1.0
                             ELSE a/sqrt(a*a + b*b) END), 6) END AS fasp
 FROM ab
+"""
+# --- areal ops (corner topology, MA:902-1038): the Surround
+# classification (kernels.surround — guard order complete, rightangle,
+# oneside, outflow, default open) re-expressed as a CASE cascade over
+# the clamped 3x3 pivot; Corners planes base-5-encoded to one column
+# (queries._corners_encoded) so one hash covers all four planes.
+
+
+def _sur_sql(fo: str, tl: str, tr: str, br: str) -> str:
+    return (
+        f"(CASE WHEN {fo}<>{tl} AND {tl}={tr} AND {tr}={br} THEN 0 "
+        f"WHEN {fo}<>{tl} AND {fo}<>{br} THEN 3 "
+        f"WHEN ({fo}<>{tl} AND {fo}<>{tr}) OR ({fo}<>{tr} AND {fo}<>{br}) THEN 1 "
+        f"WHEN {fo}<>{tr} AND {fo}={tl} AND {fo}={br} THEN 4 ELSE 2 END)"
+    )
+
+
+#: fshape corner slots (k_fshape field order tl, bl, br, tr)
+_SHAPE_CORNERS = (
+    _sur_sql("fo", "no", "nw", "we"),
+    _sur_sql("fo", "so", "sw", "we"),
+    _sur_sql("fo", "so", "se", "ea"),
+    _sur_sql("fo", "no", "ne", "ea"),
+)
+#: fpartition slots (top-right 2x2 only; bl fixed Open, MA:989-1000)
+_PART_CORNERS = (
+    _sur_sql("fo", "no", "no", "fo"),
+    "2",
+    _sur_sql("fo", "fo", "ea", "ea"),
+    _sur_sql("fo", "no", "ne", "ea"),
+)
+
+
+def _corners_cte(corners: tuple) -> str:
+    cs = ", ".join(f"{c} AS c{i}" for i, c in enumerate(corners))
+    return f"cs AS (SELECT gy, gx, {cs} FROM nb)"
+
+
+#: frontage length / area deduction per Surround code (kernels
+#: FRONTAGE_LUT / AREA_LUT; 0.7071067811865475 == float64 1/sqrt 2)
+def _front_lut(c: str) -> str:
+    return (
+        f"(CASE {c} WHEN 0 THEN 0.7071067811865475 WHEN 1 THEN 0.5 "
+        f"WHEN 2 THEN 0.0 WHEN 3 THEN 1.0 ELSE 0.7071067811865475 END)"
+    )
+
+
+def _area_lut(c: str) -> str:
+    return f"(CASE {c} WHEN 0 THEN 0.125 WHEN 4 THEN -0.125 ELSE 0.0 END)"
+
+
+ORACLE["fshape_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_CLAMP},
+nb AS ({_pivot9(_JOIN_INNER, "ival")}),
+{_corners_cte(_SHAPE_CORNERS)}
+SELECT gy, gx, CAST(c0 + 5*c1 + 25*c2 + 125*c3 AS DOUBLE) AS cenc FROM cs
+"""
+ORACLE["fpartition_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_CLAMP},
+nb AS ({_pivot9(_JOIN_INNER, "ival")}),
+{_corners_cte(_PART_CORNERS)}
+SELECT gy, gx, CAST(c0 + 5*c1 + 25*c2 + 125*c3 AS DOUBLE) AS cenc FROM cs
+"""
+ORACLE["ffrontage_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_CLAMP},
+nb AS ({_pivot9(_JOIN_INNER, "ival")}),
+{_corners_cte(_SHAPE_CORNERS)}
+SELECT gy, gx,
+  round({_front_lut("c0")} + {_front_lut("c1")} + {_front_lut("c2")} + {_front_lut("c3")}, 6) AS ffront
+FROM cs
+"""
+ORACLE["farea_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_CLAMP},
+nb AS ({_pivot9(_JOIN_INNER, "ival")}),
+{_corners_cte(_SHAPE_CORNERS)}
+SELECT gy, gx,
+  round(1.0 - ({_area_lut("c0")} + {_area_lut("c1")} + {_area_lut("c2")} + {_area_lut("c3")}), 6) AS farea
+FROM cs
 """
 ORACLE["flinkage_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_FILL},
@@ -1569,4 +1683,10 @@ QUERIES = {
     "image_near_dup": q_image_near_dup,
     "audio_near_dup": q_audio_near_dup,
     "video_frames": q_video_frames,
+    # ---- areal corner-topology ops (MA:902-1038), previously
+    # golden-tested only; Surround CASE-cascade oracles ----
+    "fpartition_grid": q_fpartition,
+    "fshape_grid": q_fshape,
+    "ffrontage_grid": q_ffrontage,
+    "farea_grid": q_farea,
 }
