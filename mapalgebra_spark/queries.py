@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import gridq
+from . import kernels as K
 from . import spatial as SP
 from .gridq import GRID_CTE, grid_df, grid_to_tiles, tiles_to_rows
 from .operators import color as CO
@@ -369,6 +370,24 @@ def q_faspect(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "faspect", "fasp", round6=True, nan_to_null=True)
 
 
+def q_breaks(spark, sf_dir):
+    """README colour-pipeline front half (MA:1300-1315): distributed
+    histogram over a byte-spread grid column, then the reference
+    ``breaks`` fold (bin-0 drop, sum//11 width, jump-skip, prepend 1,
+    take 10) on the driver-side 256-vector — the documented
+    driver-side small.  Oracle replays the exact fold as a recursive
+    CTE over the 255 bins."""
+    g, G = grid_df(spark, sf_dir)
+    g2 = g.withColumn(
+        "vbyte", (F.floor(F.col("val2") * 7).cast("long") % 256 + 256) % 256
+    )
+    tr = grid_to_tiles(g2, G, "vbyte", "uint8", "grid_vbyte")
+    brks = K.breaks(CO.histogram_vector(tr))
+    return spark.createDataFrame(
+        [(i + 1, int(b)) for i, b in enumerate(brks)], "rank int, brk int"
+    )
+
+
 def _corners_encoded(tr):
     """Corners 4-plane stack → one base-5 encoded plane
     (c_tl + 5·c_bl + 25·c_br + 125·c_tr, Surround codes 0-4 → < 625,
@@ -712,6 +731,40 @@ SELECT CAST(ival AS INT) AS value, count(*) AS n FROM grid GROUP BY 1
 ORACLE["histogram_int_grid"] = f"""
 WITH {GRID_CTE}
 SELECT CAST(ival - 2 AS BIGINT) AS value, count(*) AS n FROM grid GROUP BY 1
+"""
+# breaks (MA:1309-1315): the sequential fold (goal state with
+# jump-skip) replayed exactly as a recursive CTE over the 255 non-zero
+# bins.  A closed form does NOT exist: on a cumulative count that is an
+# exact multiple of bin_width the small-step and jump branches assign
+# DIFFERENT next thresholds (verified by property test against 20k
+# random histograms), so the oracle carries the (cum, goal) state.
+ORACLE["breaks_grid"] = f"""
+WITH RECURSIVE {GRID_CTE},
+vb AS (SELECT (CAST(floor(val2*7) AS BIGINT) % 256 + 256) % 256 AS b FROM grid),
+hh AS (SELECT t.i AS bin, COALESCE(c.cnt, 0) AS cnt
+       FROM range(1, 256) t(i)
+       LEFT JOIN (SELECT b, count(*) AS cnt FROM vb GROUP BY b) c ON c.b = t.i),
+params AS (SELECT CAST(sum(cnt) // 11 AS BIGINT) AS bw FROM hh),
+walk(i, cum, goal, fired) AS (
+  SELECT 0, CAST(0 AS BIGINT), (SELECT bw FROM params), FALSE
+  UNION ALL
+  SELECT w.i + 1,
+         w.cum + h.cnt,
+         CASE WHEN w.cum + h.cnt > w.goal THEN
+           CASE WHEN (w.cum + h.cnt - w.goal) > p.bw
+                THEN w.goal + p.bw * ((w.cum + h.cnt - w.goal) // p.bw + 1)
+                ELSE w.goal + p.bw END
+         ELSE w.goal END,
+         w.cum + h.cnt > w.goal
+  FROM walk w CROSS JOIN params p JOIN hh h ON h.bin = w.i + 1
+  WHERE w.i < 255
+),
+brk AS (SELECT 1 AS brk, 0 AS ord
+        UNION ALL
+        SELECT i AS brk, i AS ord FROM walk WHERE fired)
+SELECT CAST(rank AS INT) AS rank, CAST(brk AS INT) AS brk
+FROM (SELECT brk, row_number() OVER (ORDER BY ord) AS rank FROM brk)
+WHERE rank <= 10
 """
 ORACLE["histogram_float_grid"] = f"""
 WITH {GRID_CTE},
@@ -1689,4 +1742,6 @@ QUERIES = {
     "fshape_grid": q_fshape,
     "ffrontage_grid": q_ffrontage,
     "farea_grid": q_farea,
+    # breaks: histogram -> reference break fold (recursive-CTE oracle)
+    "breaks_grid": q_breaks,
 }
