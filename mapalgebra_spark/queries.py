@@ -370,6 +370,50 @@ def q_faspect(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "faspect", "fasp", round6=True, nan_to_null=True)
 
 
+def q_cell_points(spark, sf_dir):
+    """H3/S2-style cell assignment through the engine's vectorized
+    pandas-UDF path (spatial.with_cell → cellindex.latlng_to_cell:
+    level-tagged Morton interleave of the equirectangular buckets) plus
+    the parent relation (cellindex.cell_parent: decode → shift →
+    re-encode).  The oracle re-derives both ids with the same
+    part1by1 spread chain in SQL bit arithmetic — an independent
+    implementation of the Morton layout, not a replay of numpy."""
+    pts = _customer_points(spark, sf_dir)
+    with_cell = SP.with_cell(pts, level=12, out="cell")
+    return SP.with_parent_cell(with_cell, 10, cell="cell").select(
+        "point_id", "cell", "parent"
+    )
+
+
+def q_colorize(spark, sf_dir):
+    """README colour pipeline back half (MA:679-682 classify +
+    ramp): colorize through a 5-stop RGBA map (lookupLE semantics,
+    below-min → INVISIBLE), 4-plane uint8 output packed
+    r|g<<8|b<<16|a<<24 into one exact double for hashing."""
+    import numpy as np
+
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    out = CO.colorize(tr, {k: c for k, c in _COLORIZE_MAP})
+
+    def enc(c):
+        return (
+            c[0].astype(np.int64) + (c[1].astype(np.int64) << 8)
+            + (c[2].astype(np.int64) << 16) + (c[3].astype(np.int64) << 24)
+        ).astype(np.float64)
+
+    return tiles_to_rows(out.map(enc), "rgba")
+
+
+#: 5 stops from the spectrum ramp (verbatim MA:604-610 RGB + opaque α)
+_COLORIZE_MAP = [
+    (5.0, (0, 22, 51, 255)),
+    (15.0, (51, 18, 135, 255)),
+    (25.0, (150, 0, 204, 255)),
+    (35.0, (242, 13, 177, 255)),
+    (45.0, (255, 61, 61, 255)),
+]
+
+
 def q_breaks(spark, sf_dir):
     """README colour-pipeline front half (MA:1300-1315): distributed
     histogram over a byte-spread grid column, then the reference
@@ -732,6 +776,68 @@ ORACLE["histogram_int_grid"] = f"""
 WITH {GRID_CTE}
 SELECT CAST(ival - 2 AS BIGINT) AS value, count(*) AS n FROM grid GROUP BY 1
 """
+# cell index: an INDEPENDENT SQL implementation of the Morton layout
+# (cellindex.py docstring) — equirectangular bucket floor + clip, then
+# the part1by1 spread as 5 chained shift-mask CTE stages over the four
+# columns (x/y at level 12, x>>2/y>>2 at level 10), then
+# (level<<58) | sx | (sy<<1).
+def _morton_sql() -> str:
+    stages = []
+    cols = ("x12", "y12", "x10", "y10")
+    step0 = ", ".join(f"({c} & 536870911) AS {c}" for c in cols)
+    stages.append(f"s0 AS (SELECT point_id, {step0} FROM xy)")
+    for i, (sh, mask) in enumerate(
+        (
+            (16, 0x0000FFFF0000FFFF),
+            (8, 0x00FF00FF00FF00FF),
+            (4, 0x0F0F0F0F0F0F0F0F),
+            (2, 0x3333333333333333),
+            (1, 0x5555555555555555),
+        ),
+        start=1,
+    ):
+        step = ", ".join(f"(({c} | ({c} << {sh})) & {mask}) AS {c}" for c in cols)
+        stages.append(f"s{i} AS (SELECT point_id, {step} FROM s{i - 1})")
+    return ",\n".join(stages)
+
+
+ORACLE["cell_points"] = f"""
+WITH pts AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS point_id,
+         (c_custkey*37%17000)/100.0 - 85.0 AS lat,
+         (c_custkey*73%35900)/100.0 - 179.5 AS lng
+  FROM customer
+),
+xy AS (
+  SELECT point_id,
+    least(greatest(CAST(floor((lng + 180.0)/360.0*4096) AS BIGINT), 0), 4095) AS x12,
+    least(greatest(CAST(floor((lat + 90.0)/180.0*4096) AS BIGINT), 0), 4095) AS y12,
+    least(greatest(CAST(floor((lng + 180.0)/360.0*4096) AS BIGINT), 0), 4095) >> 2 AS x10,
+    least(greatest(CAST(floor((lat + 90.0)/180.0*4096) AS BIGINT), 0), 4095) >> 2 AS y10
+  FROM pts
+),
+{_morton_sql()}
+SELECT point_id,
+       (CAST(12 AS BIGINT) << 58) | x12 | (y12 << 1) AS cell,
+       (CAST(10 AS BIGINT) << 58) | x10 | (y10 << 1) AS parent
+FROM s5
+"""
+
+# colorize: lookupLE over the 5-stop map; below-min -> INVISIBLE
+# (0,0,0,0) == packed 0
+def _colorize_sql() -> str:
+    cases = []
+    for key, (r, g, b, a) in sorted(_COLORIZE_MAP, reverse=True):
+        packed = r + (g << 8) + (b << 16) + (a << 24)
+        cases.append(f"WHEN val >= {key} THEN {packed}.0")
+    return "CASE " + " ".join(cases) + " ELSE 0.0 END"
+
+
+ORACLE["colorize_grid"] = f"""
+WITH {GRID_CTE}
+SELECT gy, gx, {_colorize_sql()} AS rgba FROM grid
+"""
+
 # breaks (MA:1309-1315): the sequential fold (goal state with
 # jump-skip) replayed exactly as a recursive CTE over the 255 non-zero
 # bins.  A closed form does NOT exist: on a cumulative count that is an
@@ -1744,4 +1850,7 @@ QUERIES = {
     "farea_grid": q_farea,
     # breaks: histogram -> reference break fold (recursive-CTE oracle)
     "breaks_grid": q_breaks,
+    # cell index + colour pipeline back half
+    "cell_points": q_cell_points,
+    "colorize_grid": q_colorize,
 }

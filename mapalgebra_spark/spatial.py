@@ -49,6 +49,19 @@ def with_cell(df: DataFrame, level: int, lat="lat", lng="lng", out="cell_id") ->
     return df.withColumn(out, cell_udf(F.col(lat), F.col(lng)))
 
 
+def with_parent_cell(
+    df: DataFrame, parent_level: int, cell: str = "cell_id", out: str = "parent"
+) -> DataFrame:
+    """Attach each cell's ancestor at ``parent_level`` (vectorized
+    cellindex.cell_parent: decode → shift → re-encode)."""
+
+    @F.pandas_udf(T.LongType())
+    def parent_udf(c: pd.Series) -> pd.Series:
+        return pd.Series(CI.cell_parent(c.to_numpy(), parent_level))
+
+    return df.withColumn(out, parent_udf(F.col(cell)))
+
+
 def haversine_col(lat1, lng1, lat2, lng2):
     """Great-circle distance (km) as a native Spark SQL expression —
     stays in whole-stage codegen, no Python."""
