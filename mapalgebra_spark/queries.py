@@ -414,6 +414,19 @@ _COLORIZE_MAP = [
 ]
 
 
+def q_pyramid(spark, sf_dir):
+    """One overview level (operators/pyramid.downsample2: tile-local
+    2x2 block mean, then a parent-tile merge — the only shuffle,
+    carrying quarter-size tiles).  Grid values are integral, so the
+    up-to-4-cell block sums are exact float64 in any summation order
+    and the oracle is a plain GROUP BY gy//2, gx//2 average (ceil-div
+    edge cells average the 1-2 available source cells on both sides)."""
+    from .operators import pyramid as PY
+
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    return _r6(tiles_to_rows(PY.downsample2(tr), "pmean"), "pmean")
+
+
 def q_breaks(spark, sf_dir):
     """README colour-pipeline front half (MA:1300-1315): distributed
     histogram over a byte-spread grid column, then the reference
@@ -776,6 +789,15 @@ ORACLE["histogram_int_grid"] = f"""
 WITH {GRID_CTE}
 SELECT CAST(ival - 2 AS BIGINT) AS value, count(*) AS n FROM grid GROUP BY 1
 """
+# pyramid overview level: integral grid values make the 2x2 block sums
+# exact in any order, so a plain grouped average is the exact twin
+ORACLE["pyramid_grid"] = f"""
+WITH {GRID_CTE}
+SELECT CAST(gy//2 AS INT) AS gy, CAST(gx//2 AS INT) AS gx,
+       round(avg(val), 6) AS pmean
+FROM grid GROUP BY 1, 2
+"""
+
 # cell index: an INDEPENDENT SQL implementation of the Morton layout
 # (cellindex.py docstring) — equirectangular bucket floor + clip, then
 # the part1by1 spread as 5 chained shift-mask CTE stages over the four
@@ -1769,9 +1791,11 @@ FROM media
 # count folds to a 4096-entry LUT over the window's 12 equality bits).
 # Positions 51+ are parameter VARIANTS
 # of already-hash-validated base ops (radius-2, NoData, extra histogram
-# binnings, a quality-scores subset); they stay registered — bench.py
-# times them and tests/test_oracle_pairs.py hash-checks them locally —
-# but they're the right entries to fall outside a capped driver window.
+# binnings, a quality-scores subset) plus round-3 additions (multimodal
+# ops, areal corner ops, breaks, cell index, colorize — each with its
+# own exact oracle); they stay registered — bench.py times them and
+# tests/test_oracle_pairs.py hash-checks them locally — and they're
+# the right entries to fall outside a capped driver window.
 QUERIES = {
     # local / zonal / streaming
     "classify_grid": q_classify,
@@ -1850,7 +1874,8 @@ QUERIES = {
     "farea_grid": q_farea,
     # breaks: histogram -> reference break fold (recursive-CTE oracle)
     "breaks_grid": q_breaks,
-    # cell index + colour pipeline back half
+    # cell index + colour pipeline back half + overview pyramid
     "cell_points": q_cell_points,
     "colorize_grid": q_colorize,
+    "pyramid_grid": q_pyramid,
 }
