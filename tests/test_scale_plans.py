@@ -247,3 +247,45 @@ def test_focal_exchange_free_on_image_partitioned_table(spark):
         np.testing.assert_allclose(got, ref, rtol=1e-6)
     finally:
         src.unpersist()
+
+
+def test_colorize_single_python_stage_no_exchange(spark):
+    """colorize + plane packing fuse into ONE mapInPandas stage over the
+    tile table — a pure per-tile map, zero shuffle."""
+    import numpy as np
+
+    from mapalgebra_spark.operators import color as CO
+
+    tr = TileRaster.from_arrays(spark, {"r": np.ones((20, 20)) * 7.0}, tile_size=8)
+    out = CO.colorize(tr, {5.0: (1, 2, 3, 255)}).map(
+        lambda c: c[0].astype(np.float64)
+    ).strict()
+    plan = plan_of(out.df)
+    assert "Exchange" not in plan, plan
+    # the classify->pack chain must not split into two Python stages
+    assert plan.count("MapInPandas") + plan.count("ArrowEvalPython") <= 1, plan
+
+
+def test_cell_index_assignment_no_exchange(spark):
+    """with_cell + with_parent_cell are vectorized projection stages:
+    no shuffle anywhere in the plan."""
+    from mapalgebra_spark import spatial as SP
+
+    pts = spark.createDataFrame(
+        [(str(i), float(i % 80) - 40.0, float(i * 3 % 350) - 175.0) for i in range(64)],
+        "point_id string, lat double, lng double",
+    )
+    out = SP.with_parent_cell(SP.with_cell(pts, 12, out="cell"), 10, cell="cell")
+    assert "Exchange" not in plan_of(out), plan_of(out)
+
+
+def test_pyramid_single_exchange_quarter_tiles(spark):
+    """downsample2's only shuffle is the parent-tile merge, and it
+    moves ALREADY-SHRUNKEN tiles: exactly one Exchange in the plan,
+    positioned after the shrink stage."""
+    from mapalgebra_spark.operators import pyramid as P
+
+    tr = TileRaster.from_arrays(spark, {"r": np.ones((32, 32))}, tile_size=8)
+    out = P.downsample2(tr)
+    plan = plan_of(out.df)
+    assert plan.count("Exchange") == 1, plan
