@@ -56,6 +56,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+#: artifact/output dir — overridable so the pytest smoke run of this
+#: harness (tests/test_bench_smoke.py) never clobbers the real
+#: BENCH/BASELINE.md or the cached image/tile tables
+BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", os.path.join(REPO, "BENCH"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", min(32, os.cpu_count() or 8)))
 N_IMAGES = int(os.environ.get("SPARK_GRAFT_BENCH_IMAGES", "20480"))
 SKIP_SCALING = os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
@@ -67,7 +71,7 @@ HEADLINE_CORES = int(os.environ.get("SPARK_GRAFT_HEADLINE_CORES", str(CPUS)))
 def ensure_images(n: int) -> str:
     """Materialize the deterministic image table once (n 512x512-ish
     images; SF=0.1-style sample). Generation cost excluded from timing."""
-    img_path = os.path.join(REPO, "BENCH", f"images_{n}.parquet")
+    img_path = os.path.join(BENCH_DIR, f"images_{n}.parquet")
     if not os.path.exists(os.path.join(img_path, "_SUCCESS")):
         from mapalgebra_spark.datagen import write_images
         from mapalgebra_spark.session import get_spark
@@ -82,7 +86,7 @@ def ensure_tiles(n: int) -> str:
     """Materialize the decoded TILE table once — the flagship measures
     the steady-state focal stage over a tile table at rest (the 100 TB
     posture: decode/ingest happened at write time)."""
-    tiles_path = os.path.join(REPO, "BENCH", f"tiles_{n}.parquet")
+    tiles_path = os.path.join(BENCH_DIR, f"tiles_{n}.parquet")
     if not os.path.exists(os.path.join(tiles_path, "_SUCCESS")):
         from mapalgebra_spark.ingest import tiles_from_images
         from mapalgebra_spark.session import get_spark
@@ -373,7 +377,7 @@ def main():
         # measurements are complete and printed; JVM teardown sometimes
         # deadlocks in local mode — never let it eat the leg's output
         os._exit(0)
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    os.makedirs(BENCH_DIR, exist_ok=True)
     img_path = ensure_tiles(N_IMAGES)
 
     # ---- headline: full-materialization sink at the full box --------
@@ -464,7 +468,7 @@ def main():
 
     qtimes, grid_build = run_queries(SF_DIR)
 
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write("# BENCH/BASELINE.md — measured at build time\n\n")
         f.write("Flagship: focal fmean+fgradient over cell-indexed 256x256 tiles\n")
         f.write(f"of {N_IMAGES} synthetic images (input_hint schema), one halo\n")
