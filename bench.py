@@ -42,7 +42,9 @@ and writes BENCH/BASELINE.md with all tables.
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_BENCH_IMAGES (default 20480), SPARK_GRAFT_SCALE_LOW/HIGH,
 SPARK_GRAFT_HEADLINE_CORES, SPARK_GRAFT_SKIP_SCALING=1,
-SPARK_GRAFT_SCALE_ROUNDS, SPARK_GRAFT_LO_RUNS/HI_RUNS.
+SPARK_GRAFT_SCALE_ROUNDS, SPARK_GRAFT_LO_RUNS/HI_RUNS,
+SPARK_GRAFT_BENCH_DIR (artifact dir), SPARK_GRAFT_EXEC_LEGS=0 (skip
+the literal-executor local-cluster corroboration pair).
 """
 
 from __future__ import annotations
@@ -100,7 +102,8 @@ def ensure_tiles(n: int) -> str:
 
 
 def run_flagship_subprocess(
-    cores: int, img_path: str, runs: int = 3, pin: int = 0, sink: str = "checksum"
+    cores: int, img_path: str, runs: int = 3, pin: int = 0, sink: str = "checksum",
+    execs: int = 0,
 ) -> dict:
     """Run one flagship measurement in a FRESH process/JVM.
 
@@ -118,7 +121,7 @@ def run_flagship_subprocess(
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--flagship", str(cores),
-                 img_path, str(runs), str(pin), sink],
+                 img_path, str(runs), str(pin), sink, str(execs)],
                 capture_output=True, text=True, timeout=timeout,
             )
         except subprocess.TimeoutExpired:
@@ -136,7 +139,8 @@ def run_flagship_subprocess(
 
 
 def run_flagship(
-    cores: int, img_path: str, runs: int = 3, pin: int = 0, sink: str = "checksum"
+    cores: int, img_path: str, runs: int = 3, pin: int = 0, sink: str = "checksum",
+    execs: int = 0,
 ) -> dict:
     """fmean+fgradient over every tile of the tile table; returns
     tiles/sec (best of ``runs``) plus every run's seconds.
@@ -163,17 +167,33 @@ def run_flagship(
     # 16-row Arrow batches: fat tile rows pipeline JVM<->Python instead
     # of buffering (measured 2x on the flagship; see session.py)
     arrow_batch = os.environ.get("SPARK_GRAFT_ARROW_BATCH", "16")
+    extra = {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch,
+        # The flagship plan is fixed-shape (explicit partitioning, one
+        # tiny strips shuffle): AQE's per-stage replanning only adds
+        # driver pauses here (measured).  AQE stays ON in the engine
+        # default session (session.py) where skewed joins need it.
+        "spark.sql.adaptive.enabled": "false",
+    }
+    if execs:
+        # literal-executor realization: ``execs`` SEPARATE executor
+        # JVMs of cores/execs cores each (local-cluster) — the halo
+        # strips genuinely cross process boundaries over the block
+        # transfer service instead of staying in one JVM's memory
+        exec_cores = cores // execs
+        exec_mem = os.environ.get("SPARK_GRAFT_EXEC_MEM", "4096")
+        master = f"local-cluster[{execs},{exec_cores},{exec_mem}]"
+        extra["spark.executorEnv.PYTHONPATH"] = REPO
+        extra["spark.executor.memory"] = f"{exec_mem}m"
+        for k in ("MALLOC_MMAP_THRESHOLD_", "MALLOC_TRIM_THRESHOLD_"):
+            if k in os.environ:
+                extra[f"spark.executorEnv.{k}"] = os.environ[k]
+    else:
+        master = f"local[{cores}]"
     spark = get_spark(
-        app=f"bench_{cores}", master=f"local[{cores}]",
+        app=f"bench_{cores}", master=master,
         shuffle_partitions=cores * part_mult,
-        extra={
-            "spark.sql.execution.arrow.maxRecordsPerBatch": arrow_batch,
-            # The flagship plan is fixed-shape (explicit partitioning, one
-            # tiny strips shuffle): AQE's per-stage replanning only adds
-            # driver pauses here (measured).  AQE stays ON in the engine
-            # default session (session.py) where skewed joins need it.
-            "spark.sql.adaptive.enabled": "false",
-        },
+        extra=extra,
     )
     specs = [
         _rp(FO.FOCAL_OPS["fmean"], cast="float32"),
@@ -229,6 +249,7 @@ def run_flagship(
         return {
             "cores": cores, "pin": pin, "sink": sink, "tiles": n_tiles,
             "sec": best, "secs": all_secs, "tps": n_tiles / best,
+            "execs": execs,
         }
     finally:
         # stop() via a watchdog thread: JVM teardown occasionally
@@ -372,8 +393,9 @@ def main():
         runs = int(sys.argv[4]) if len(sys.argv) >= 5 else 3
         pin = int(sys.argv[5]) if len(sys.argv) >= 6 else 0
         sink = sys.argv[6] if len(sys.argv) >= 7 else "checksum"
+        execs = int(sys.argv[7]) if len(sys.argv) >= 8 else 0
         print(json.dumps(run_flagship(int(sys.argv[2]), sys.argv[3], runs=runs,
-                                      pin=pin, sink=sink)), flush=True)
+                                      pin=pin, sink=sink, execs=execs)), flush=True)
         # measurements are complete and printed; JVM teardown sometimes
         # deadlocks in local mode — never let it eat the leg's output
         os._exit(0)
@@ -461,6 +483,25 @@ def main():
         except Exception as ex:  # never let the baseline kill the bench
             print(f"hw baseline failed: {ex}", file=sys.stderr)
 
+    # ---- literal-executor corroboration: 1 vs 4 SEPARATE executor
+    # JVMs (local-cluster, 2 cores each, pinned to their core budget) —
+    # the halo strips cross real process boundaries over the block
+    # transfer service.  One paired round; disclosure evidence
+    # alongside the gate, not a replacement (a single box running 5
+    # JVMs adds per-executor constant costs a real cluster pays
+    # per NODE).  Disable with SPARK_GRAFT_EXEC_LEGS=0.
+    exec_legs = None
+    if not SKIP_SCALING and os.environ.get("SPARK_GRAFT_EXEC_LEGS") != "0":
+        try:
+            xlo = run_flagship_subprocess(2, img_path, runs=2, pin=2, execs=1)
+            xhi = run_flagship_subprocess(8, img_path, runs=2, pin=8, execs=4)
+            exec_legs = {
+                "low": xlo, "high": xhi,
+                "efficiency": round((xhi["tps"] / xlo["tps"]) / 4, 3),
+            }
+        except RuntimeError as ex:
+            print(f"executor legs dropped: {ex}", file=sys.stderr)
+
     if full is None:
         if scaling is None:
             raise RuntimeError("headline leg failed and no scaling legs ran")
@@ -535,6 +576,21 @@ def main():
             "the engine.  The gate pair 2v8 sits in the measured compute-\n"
             "linear region; the literal-contract unpinned rows are below.\n\n"
         )
+        if exec_legs:
+            lo, hi = exec_legs["low"], exec_legs["high"]
+            f.write(
+                "## Literal-executor corroboration — separate executor JVMs\n\n"
+                "One paired pinned round on `local-cluster` (real executor\n"
+                "processes; halo strips cross JVM boundaries over the block\n"
+                "transfer service):\n\n"
+                "| role | executors x cores | pinned cores | sec (best) | all runs | tiles/sec |\n|---|---|---|---|---|---|\n"
+                f"| N | 1 x 2 | {lo['pin']} | {lo['sec']:.2f} | {lo['secs']} | {lo['tps']:.1f} |\n"
+                f"| 4N | 4 x 2 | {hi['pin']} | {hi['sec']:.2f} | {hi['secs']} | {hi['tps']:.1f} |\n"
+                f"\nEfficiency **{exec_legs['efficiency']}** — corroborates the\n"
+                "gate with the contract's own executor semantics (disclosure\n"
+                "evidence: one box running 5 JVMs also pays per-executor\n"
+                "constants a real cluster amortizes per node).\n\n"
+            )
         f.write("| diagnostic row | cores | pinned | sink | sec (best) | tiles/sec |\n|---|---|---|---|---|---|\n")
         for nm in ("unpinned8", "unpinned32"):
             if nm in widths:
@@ -589,6 +645,12 @@ def main():
             "sink": "checksum (compute-and-reduce; see BENCH/BASELINE.md)",
         } if scaling else None,
         "widths": {k: round(v["tps"], 1) for k, v in widths.items()},
+        "executor_legs": {
+            "low_tps": round(exec_legs["low"]["tps"], 1),
+            "high_tps": round(exec_legs["high"]["tps"], 1),
+            "efficiency": exec_legs["efficiency"],
+            "shape": "local-cluster 1x2 vs 4x2, pinned, paired",
+        } if exec_legs else None,
         "hw_baseline_tps": hw,
         "grid_build_sec": grid_build,
         "tiles": full["tiles"],
