@@ -535,7 +535,12 @@ def q_knn_cells(spark, sf_dir):
     qs = _supplier_queries(spark, sf_dir)
     from mapalgebra_spark.cacheutil import attach_bases
 
-    out = SP.knn_cells(spark, qs, pts, k=5, level=5, max_ring=8)
+    # level 7 (128x128 cells, ~1.4deg): ring-8 candidate sets shrink
+    # ~16x vs the old level 5 (measured 5.7s -> 1.5s at sf0.1, same
+    # rows); sparse regions that exceed the ring bound fall back to
+    # exact brute force per the knn_cells guarantee, so results are
+    # identical at every sf
+    out = SP.knn_cells(spark, qs, pts, k=5, level=7, max_ring=8)
     # re-attach: DataFrame transformations produce new objects, so the
     # persisted-base handles must be carried across the .select
     return attach_bases(
