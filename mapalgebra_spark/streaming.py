@@ -64,6 +64,53 @@ def stream_tile_pipeline(
     return writer.start()
 
 
+#: documents-table schema (TESTDATA.md) for the streaming dedup source
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stream_dedup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental exact dedup over a document ingest stream — the
+    streaming form of the batch ``dedup_exact`` stage
+    (pipelines.build_prepare_job).
+
+    Each arriving document gets an md5(text) fingerprint;
+    ``dropDuplicatesWithinWatermark`` keeps the FIRST arrival per
+    fingerprint and drops later copies that arrive within the
+    watermark horizon.  Scale shape: the dedup state is the
+    fingerprint store — one small row per distinct document,
+    partitioned by Spark's state store and BOUNDED by the watermark
+    (unbounded-state dropDuplicates would grow forever on a 10^12-doc
+    ingest); exactly-once delivery into the append parquet sink comes
+    from the checkpoint.  Returns the started StreamingQuery."""
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    deduped = (
+        reader.parquet(input_dir)
+        .withColumn("fp", F.md5(F.col("text")))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .withWatermark("ingest_ts", watermark)
+        .dropDuplicatesWithinWatermark(["fp"])
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_event_stats(
     events: DataFrame,
     window: str = "1 minute",

@@ -132,3 +132,47 @@ def test_running_tile_max_stateful_across_restarts(spark, tmp_path):
         a = datagen.render_pixels(i, 128, 128, rgba=False)
         b = datagen.render_pixels(i + 100, 128, 128, rgba=False)
         np.testing.assert_array_equal(got, np.maximum(a, b))
+
+
+def test_stream_dedup_documents(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving in LATER micro-batches
+    (and within one batch) are dropped; the survivor set equals the
+    batch-distinct set."""
+    import pandas as pd
+
+    from mapalgebra_spark.streaming import stream_dedup_documents
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batch1 = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta", "gamma", "alpha beta"],  # in-batch dup
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [10, 5, 10],
+        }
+    )
+    batch2 = pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            "text": ["gamma", "delta"],  # cross-batch dup + one new
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [5, 5],
+        }
+    )
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(str(src / "b1"))
+    spark.createDataFrame(batch2).coalesce(1).write.parquet(str(src / "b2"))
+
+    q = stream_dedup_documents(
+        spark,
+        f"{src}/*",
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,  # force multiple micro-batches
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out")).toPandas()
+    assert sorted(out["text"].tolist()) == ["alpha beta", "delta", "gamma"]
+    assert out["fp"].nunique() == 3
