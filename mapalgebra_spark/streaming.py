@@ -111,6 +111,114 @@ def stream_dedup_documents(
     )
 
 
+def stream_near_dedup_documents(
+    spark: SparkSession,
+    input_dir: str,
+    keeper_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float = 0.7,
+    max_files_per_trigger: int | None = None,
+):
+    """Incremental MinHash-LSH near-dedup (foreachBatch): the streaming
+    form of the batch near-dedup stage (pipelines.build_prepare_job).
+
+    Per micro-batch:
+
+    1. minhash signatures of the batch (textops' all-JVM pipeline),
+    2. band rows joined against the accumulated KEEPER band table on
+       (band, bkey) — only bucket collisions meet, never
+       |batch| x |keeper| — then verified by signature agreement
+       (est_jaccard >= threshold): matches are near-dups of an
+       already-kept document and drop out,
+    3. intra-batch near-dups resolved by the batch LSH self-join with
+       the pipeline's keeper rule (a doc drops if it pairs with any
+       smaller doc_id — each cluster's minimum survives),
+    4. survivors land in ``out_dir/batch=<id>/`` (overwrite-by-batch =
+       idempotent replay) and their band rows append to ``keeper_dir``
+       — the growing bucketed LSH index at rest that future batches
+       join against.
+
+    A crash between the two writes can replay a batch and append its
+    keeper bands twice; duplicate keeper rows only create duplicate
+    join candidates (dropped by the distinct doc_id collect), never
+    wrong survivors.  Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F  # noqa: F811 (local alias)
+
+    from .textops import (
+        N_HASHES,
+        _band_structs,
+        _lsh_candidates,
+        minhash_signatures,
+    )
+
+    sig_arr = F.array(*[F.col(f"m{i}") for i in range(N_HASHES)])
+
+    def band_rows(sigs):
+        return sigs.select(
+            "doc_id", sig_arr.alias("sig"), F.explode(_band_structs()).alias("bb")
+        ).select(
+            "doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
+
+    est = F.size(
+        F.filter(F.zip_with("sig", "ksig", lambda a, b: a == b), lambda x: x)
+    ) / F.lit(float(N_HASHES))
+
+    def handle_batch(batch_df: DataFrame, batch_id: int):
+        if not batch_df.take(1):
+            return
+        sigs = minhash_signatures(batch_df).persist()
+        bands = band_rows(sigs).persist()
+        try:
+            keeper = spark.read.parquet(keeper_dir).select(
+                F.col("doc_id").alias("kdoc"), F.col("sig").alias("ksig"),
+                "band", "bkey",
+            )
+            vs_keeper = (
+                bands.join(keeper, on=["band", "bkey"])
+                .withColumn("est", est)
+                .filter(F.col("est") >= threshold)
+                .select("doc_id")
+                .distinct()
+            )
+        except Exception:  # first batch: no keeper table yet
+            vs_keeper = None
+        intra = (
+            _lsh_candidates(sigs)
+            .withColumn(
+                "est",
+                F.size(
+                    F.filter(F.zip_with("sig_a", "sig_b", lambda a, b: a == b), lambda x: x)
+                ) / F.lit(float(N_HASHES)),
+            )
+            .filter(F.col("est") >= threshold)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        dropped = intra if vs_keeper is None else vs_keeper.unionByName(intra).distinct()
+        survivors = batch_df.join(dropped, on="doc_id", how="left_anti")
+        survivors.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
+        band_rows(sigs.join(dropped, on="doc_id", how="left_anti")).write.mode(
+            "append"
+        ).parquet(keeper_dir)
+        bands.unpersist()
+        sigs.unpersist()
+
+    reader = spark.readStream.schema(DOC_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (
+        reader.parquet(input_dir)
+        .writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_event_stats(
     events: DataFrame,
     window: str = "1 minute",

@@ -176,3 +176,63 @@ def test_stream_dedup_documents(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out")).toPandas()
     assert sorted(out["text"].tolist()) == ["alpha beta", "delta", "gamma"]
     assert out["fp"].nunique() == 3
+
+
+def test_stream_near_dedup_documents(spark, tmp_path):
+    """Incremental LSH near-dedup: a later micro-batch's near-copy of an
+    already-kept doc drops via the keeper band table; intra-batch
+    near-pairs keep the smaller doc_id; distinct docs all survive."""
+    import pandas as pd
+
+    from mapalgebra_spark.streaming import stream_near_dedup_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "green turtles watch from a mossy riverbank under pale skies"
+    )
+    near = base.replace("pale", "grey")  # one-token edit: high jaccard
+    other = (
+        "completely different content about distributed raster algebra "
+        "engines shuffling tile halos across a thousand executors"
+    )
+    third = (
+        "yet another unrelated document mentioning spectral fingerprints "
+        "banded hash joins and watermark bounded streaming state"
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(name, rows):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+                "lang": ["en"] * len(rows),
+                "source": ["s"] * len(rows),
+                "n_chars": [len(r[1]) for r in rows],
+            }
+        )
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / name))
+
+    # batch 1: base + other;  batch 2: near-copy of base (cross-batch
+    # near-dup), third (new), and an intra-batch near-pair (10 < 11)
+    write("b1", [(0, base), (1, other)])
+    write("b2", [(5, near), (6, third), (10, third + " tail"), (11, third + " tail x")])
+
+    q = stream_near_dedup_documents(
+        spark,
+        f"{src}/*",
+        str(tmp_path / "keeper"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        threshold=0.6,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(str(tmp_path / "out") + "/batch=*")
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # 5 drops vs keeper (near-copy of kept 0); 10 and 11 both drop
+    # intra-batch (near-pairs with the smaller surviving 6)
+    assert ids == [0, 1, 6], ids
+    keeper = spark.read.parquet(str(tmp_path / "keeper"))
+    assert set(r["doc_id"] for r in keeper.select("doc_id").distinct().collect()) == set(ids)
