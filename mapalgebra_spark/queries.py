@@ -370,6 +370,43 @@ def q_faspect(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "faspect", "fasp", round6=True, nan_to_null=True)
 
 
+def q_fmonoid_or(spark, sf_dir):
+    """The focal extension point (MA:789-791 fmonoid) under the oracle:
+    a USER-SUPPLIED monoid (bitwise OR, mempty 0) folded over the 3x3
+    neighbourhood with Fill-mempty border, over a 6-bit grid column.
+    The oracle ORs the 9 pivoted neighbours with COALESCE 0 (OR's
+    identity) — proving the pluggable-kernel path, not just the named
+    ops, against SQL."""
+    import numpy as np
+
+    g, G = grid_df(spark, sf_dir)
+    g2 = g.withColumn(
+        "vbits",
+        (F.col("ival") + F.col("ival2") * 4 + F.col("ival3") * 16).cast("long"),
+    )
+    tr = grid_to_tiles(g2, G, "vbits", "int64", "grid_vbits")
+    return tiles_to_rows(FO.fmonoid(tr, np.bitwise_or, 0), "orval")
+
+
+def q_salted_join(spark, sf_dir):
+    """The skew machinery under the oracle: lineitem salted-joined
+    (skew.salted_join, n_salt=8) to the unique-keyed supplier dim,
+    then aggregated — salting must be exactly semantics-preserving, so
+    the oracle is the PLAIN join+agg."""
+    from . import skew as SK
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_quantity"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = SK.salted_join(li, sup, ["l_suppkey"], n_salt=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 6).alias("qty")
+    )
+
+
 def q_cell_points(spark, sf_dir):
     """H3/S2-style cell assignment through the engine's vectorized
     pandas-UDF path (spatial.with_cell → cellindex.latlng_to_cell:
@@ -794,6 +831,34 @@ ORACLE["histogram_int_grid"] = f"""
 WITH {GRID_CTE}
 SELECT CAST(ival - 2 AS BIGINT) AS value, count(*) AS n FROM grid GROUP BY 1
 """
+# fmonoid with a user OR-monoid: Fill-mempty border = COALESCE to OR's
+# identity over the 9 pivoted neighbours of a 6-bit combined column
+ORACLE["fmonoid_or_grid"] = f"""
+WITH {GRID_CTE},
+gridb AS (SELECT gy, gx, ival + ival2*4 + ival3*16 AS vb FROM grid),
+coordsb AS (SELECT g.gy, g.gx, o.dy, o.dx, g.gy+o.dy AS cy, g.gx+o.dx AS cx
+            FROM gridb g CROSS JOIN offs o),
+nb AS (SELECT c.gy, c.gx,
+  {", ".join(f"max(CASE WHEN c.dy={dy} AND c.dx={dx} THEN n.vb END) AS {nm}"
+             for nm, dy, dx in (
+                 ("nw", -1, -1), ("no", -1, 0), ("ne", -1, 1),
+                 ("we", 0, -1), ("fo", 0, 0), ("ea", 0, 1),
+                 ("sw", 1, -1), ("so", 1, 0), ("se", 1, 1)))}
+  FROM coordsb c LEFT JOIN gridb n ON n.gy = c.cy AND n.gx = c.cx
+  GROUP BY c.gy, c.gx)
+SELECT gy, gx,
+  CAST(COALESCE(nw,0)|COALESCE(no,0)|COALESCE(ne,0)|COALESCE(we,0)|COALESCE(fo,0)
+       |COALESCE(ea,0)|COALESCE(sw,0)|COALESCE(so,0)|COALESCE(se,0) AS DOUBLE) AS orval
+FROM nb
+"""
+
+# salted join is semantics-preserving: oracle is the plain join+agg
+ORACLE["salted_join_agg"] = """
+SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 6) AS qty
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY 1
+"""
+
 # pyramid overview level: integral grid values make the 2x2 block sums
 # exact in any order, so a plain grouped average is the exact twin
 ORACLE["pyramid_grid"] = f"""
@@ -1883,4 +1948,7 @@ QUERIES = {
     "cell_points": q_cell_points,
     "colorize_grid": q_colorize,
     "pyramid_grid": q_pyramid,
+    # extension point (user monoid) + skew machinery under the oracle
+    "fmonoid_or_grid": q_fmonoid_or,
+    "salted_join_agg": q_salted_join,
 }
