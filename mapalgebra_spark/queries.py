@@ -370,6 +370,25 @@ def q_faspect(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "faspect", "fasp", round6=True, nan_to_null=True)
 
 
+def q_from_function(spark, sf_dir):
+    """Creation ops under the oracle (MA:508-523 constant/fromFunction):
+    build a GxG raster from f(gy, gx) = (gy*31 + gx*7) % 97 with
+    TileRaster.from_function (distributed per-tile evaluation over
+    spark.range, grid-default 64px tiles), explode back to rows — an
+    independent end-to-end check of tile coordinate bookkeeping
+    (ty/tx pitch, ragged-edge tiles, assembly offsets); the oracle
+    evaluates the same f over the gy/gx domain directly."""
+    import numpy as np
+
+    _, G = grid_df(spark, sf_dir)
+    tr = R.TileRaster.from_function(
+        spark, "ffun", G, G,
+        lambda yy, xx: ((yy * 31 + xx * 7) % 97).astype(np.float64),
+        tile_size=gridq.GRID_TILE,
+    )
+    return tiles_to_rows(tr, "fval")
+
+
 def q_fmonoid_or(spark, sf_dir):
     """The focal extension point (MA:789-791 fmonoid) under the oracle:
     a USER-SUPPLIED monoid (bitwise OR, mempty 0) folded over the 3x3
@@ -831,6 +850,13 @@ ORACLE["histogram_int_grid"] = f"""
 WITH {GRID_CTE}
 SELECT CAST(ival - 2 AS BIGINT) AS value, count(*) AS n FROM grid GROUP BY 1
 """
+# fromFunction: same f evaluated directly on the gy/gx domain (the
+# grid CTE enumerates exactly the GxG cells)
+ORACLE["from_function_grid"] = f"""
+WITH {GRID_CTE}
+SELECT gy, gx, CAST((gy*31 + gx*7) % 97 AS DOUBLE) AS fval FROM grid
+"""
+
 # fmonoid with a user OR-monoid: Fill-mempty border = COALESCE to OR's
 # identity over the 9 pivoted neighbours of a 6-bit combined column
 ORACLE["fmonoid_or_grid"] = f"""
@@ -1951,4 +1977,6 @@ QUERIES = {
     # extension point (user monoid) + skew machinery under the oracle
     "fmonoid_or_grid": q_fmonoid_or,
     "salted_join_agg": q_salted_join,
+    # creation ops: distributed fromFunction round-trip
+    "from_function_grid": q_from_function,
 }
