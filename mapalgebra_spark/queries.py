@@ -370,6 +370,20 @@ def q_faspect(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "faspect", "fasp", round6=True, nan_to_null=True)
 
 
+def q_evi(spark, sf_dir):
+    """The reference's flagship fused-algebra composite (module doc
+    MA:47-65): EVI = 2.5*(nir-red)/(nir + 6*red - 7.5*blue + 1) built
+    from the Num/Fractional OPERATOR OVERLOADS over three bands — the
+    whole operator tree evaluates lazily and runs as one fused stage
+    (Exchange-free plan asserted in test_spark_ops).  Oracle is the
+    identical IEEE expression per cell (same op order → same doubles;
+    6dp rounding absorbs nothing but is kept for driver-hash
+    stability)."""
+    nir, red, blue = _three(spark, sf_dir)
+    evi = (nir - red) * 2.5 / (nir + red * 6.0 - blue * 7.5 + 1.0)
+    return _r6(tiles_to_rows(evi.strict(), "evi"), "evi")
+
+
 def q_from_function(spark, sf_dir):
     """Creation ops under the oracle (MA:508-523 constant/fromFunction):
     build a GxG raster from f(gy, gx) = (gy*31 + gx*7) % 97 with
@@ -850,6 +864,14 @@ ORACLE["histogram_int_grid"] = f"""
 WITH {GRID_CTE}
 SELECT CAST(ival - 2 AS BIGINT) AS value, count(*) AS n FROM grid GROUP BY 1
 """
+# EVI composite: identical IEEE op order per cell
+ORACLE["evi_grid"] = f"""
+WITH {GRID_CTE}
+SELECT gy, gx,
+  round((val - val2) * 2.5 / (val + val2*6.0 - val3*7.5 + 1.0), 6) AS evi
+FROM grid
+"""
+
 # fromFunction: same f evaluated directly on the gy/gx domain (the
 # grid CTE enumerates exactly the GxG cells)
 ORACLE["from_function_grid"] = f"""
@@ -1979,4 +2001,6 @@ QUERIES = {
     "salted_join_agg": q_salted_join,
     # creation ops: distributed fromFunction round-trip
     "from_function_grid": q_from_function,
+    # the reference's flagship fused Num/Fractional composite
+    "evi_grid": q_evi,
 }
