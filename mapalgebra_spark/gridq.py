@@ -23,7 +23,9 @@ Grid derivation (identical text in both dialects):
 
 The grid path is the *correctness harness*; the 100 TB hot path is the
 image/tile pipeline (ingest.py + operators/). Driver-side scalars here
-are limited to count() (G) and the 256-bin histogram.
+are limited to count()+max() (G and the rank-bucket width), the
+256-entry bucket-count list the distributed rank broadcasts back, and
+the 256-bin histogram.
 """
 
 from __future__ import annotations
