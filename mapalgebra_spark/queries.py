@@ -370,6 +370,39 @@ def q_faspect(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "faspect", "fasp", round6=True, nan_to_null=True)
 
 
+def q_zonal_polygons(spark, sf_dir):
+    """Raster↔vector zonal end-to-end under the oracle:
+    spatial.rasterize_polygons burns two OVERLAPPING rectangles
+    (painter's order — later polygon wins) into a zone raster whose
+    tile layout aligns with the grid (bounds (0,G,0,G) at GxG, so
+    pixel (gy,gx)'s ray-cast center is (G-gy-0.5, gx+0.5)), then
+    operators.zonal.zonal_stats aggregates val per zone with the
+    partial/final sketch.  Rect bounds sit at x.25 offsets so no
+    pixel center ever ties an edge; the oracle re-derives the
+    center-in-rect classification per cell and aggregates."""
+    import pandas as pd
+
+    g, G = grid_df(spark, sf_dir)
+    v = grid_to_tiles(g, G, "val", "float64", "a")
+
+    def rect(la0, la1, lo0, lo1):
+        return [la0, la0, la1, la1], [lo0, lo1, lo1, lo0]
+
+    a_lat, a_lng = rect(0.25, 0.6 * G + 0.25, 0.25, 0.7 * G + 0.25)
+    b_lat, b_lng = rect(0.3 * G + 0.25, 0.9 * G + 0.25, 0.4 * G + 0.25, 0.8 * G + 0.25)
+    polys = spark.createDataFrame(
+        pd.DataFrame({"ring_lat": [a_lat, b_lat], "ring_lng": [a_lng, b_lng]})
+    )
+    z = SP.rasterize_polygons(
+        spark, polys, "a", G, G, (0.0, float(G), 0.0, float(G)),
+        nodata=-1, tile_size=gridq.GRID_TILE,
+    )
+    z = R.TileRaster(z.df.withColumn("raster_id", F.lit("a")))
+    return Z.zonal_stats(v, z).select(
+        "zone", "zsum", "zcount", "zmean", "zmin", "zmax"
+    )
+
+
 def q_evi(spark, sf_dir):
     """The reference's flagship fused-algebra composite (module doc
     MA:47-65): EVI = 2.5*(nir-red)/(nir + 6*red - 7.5*blue + 1) built
@@ -864,6 +897,26 @@ ORACLE["histogram_int_grid"] = f"""
 WITH {GRID_CTE}
 SELECT CAST(ival - 2 AS BIGINT) AS value, count(*) AS n FROM grid GROUP BY 1
 """
+# raster<->vector zonal: the center-in-rect classification per cell
+# (strict inequalities — centers at half-integers never tie the x.25
+# rect bounds, so ray-cast == rect test), painter's order (rect 1
+# wins overlaps), then the zonal aggregation
+ORACLE["zonal_polygons"] = f"""
+WITH {GRID_CTE},
+zz AS (
+  SELECT val,
+    CASE WHEN (d.g - gy - 0.5) > 0.3*d.g + 0.25 AND (d.g - gy - 0.5) < 0.9*d.g + 0.25
+              AND (gx + 0.5) > 0.4*d.g + 0.25 AND (gx + 0.5) < 0.8*d.g + 0.25 THEN 1
+         WHEN (d.g - gy - 0.5) > 0.25 AND (d.g - gy - 0.5) < 0.6*d.g + 0.25
+              AND (gx + 0.5) > 0.25 AND (gx + 0.5) < 0.7*d.g + 0.25 THEN 0
+         ELSE -1 END AS zone
+  FROM grid CROSS JOIN dims d
+)
+SELECT zone, sum(val) AS zsum, count(*) AS zcount, sum(val)/count(*) AS zmean,
+       min(val) AS zmin, max(val) AS zmax
+FROM zz GROUP BY zone
+"""
+
 # EVI composite: identical IEEE op order per cell
 ORACLE["evi_grid"] = f"""
 WITH {GRID_CTE}
@@ -2003,4 +2056,6 @@ QUERIES = {
     "from_function_grid": q_from_function,
     # the reference's flagship fused Num/Fractional composite
     "evi_grid": q_evi,
+    # raster<->vector zonal: rasterize_polygons -> zonal_stats
+    "zonal_polygons": q_zonal_polygons,
 }
