@@ -81,6 +81,14 @@ def _build_grid_df(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     ).collect()[0]
     n = head["n"]
     G = int(math.floor(math.sqrt(n)))
+    if n == 0:
+        # empty source: max(l_orderkey) is NULL — return the empty grid
+        # the pre-r3 single-window formulation produced
+        return li.sparkSession.createDataFrame(
+            [],
+            "gy int, gx int, val double, val2 double, val3 double,"
+            " ival long, ival2 long, ival3 long, zone long",
+        ), 0
     n_buckets = 256
     B = max(1, int(head["maxok"]) // n_buckets + 1)
     sel = li.select(

@@ -397,7 +397,6 @@ def q_zonal_polygons(spark, sf_dir):
         spark, polys, "a", G, G, (0.0, float(G), 0.0, float(G)),
         nodata=-1, tile_size=gridq.GRID_TILE,
     )
-    z = R.TileRaster(z.df.withColumn("raster_id", F.lit("a")))
     return Z.zonal_stats(v, z).select(
         "zone", "zsum", "zcount", "zmean", "zmin", "zmax"
     )

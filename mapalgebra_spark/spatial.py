@@ -311,11 +311,45 @@ def knn_cells(
         .filter(F.col("rank") <= k)
         .select("query_id", "point_id", "rank", "dist_km")
     )
-    # guarantee bound: ring max_ring at this level spans at least
-    # (max_ring-1) * cell_height degrees of latitude in every direction;
-    # queries whose kth neighbour is farther fall back to brute force.
-    cell_deg = 180.0 / (1 << level)
-    bound_km = (max_ring - 1) * cell_deg * 111.0  # 1 deg lat ≈ 111 km
+    # guarantee bound: a point OUTSIDE the Chebyshev ring is either
+    # (a) beyond it in LATITUDE — separation >= (max_ring-1) lat-cells,
+    #     distance >= that many degrees x 111 km (111.0 < the true
+    #     111.19 km/deg meridian arc, so a valid lower bound), or
+    # (b) beyond it in LONGITUDE with latitude inside the ring band —
+    #     lng separation >= (max_ring-1) lng-cells, and with both
+    #     endpoint latitudes within |qlat| + max_ring lat-cells the
+    #     haversine term cos(p1)cos(p2) >= cos^2(phi_max), giving the
+    #     EXACT pure-longitude haversine at phi_max as a lower bound:
+    #     2R asin(cos(phi_max) sin(gap/2)).
+    # The acceptance bound is the min of the two legs, PER QUERY (the
+    # r3 review found the old latitude-only constant unsound: at
+    # |lat| ~ 85 deg the ring's longitudinal reach shrinks by cos(lat)
+    # and a far-longitude point could undercut an accepted kth).
+    # Queries whose kth exceeds the bound fall back to brute force —
+    # near the poles cos(phi_max) -> 0 forces the fallback, which the
+    # latitude clamping of cell_ring also demands.
+    cell_lat = 180.0 / (1 << level)
+    cell_lng = 360.0 / (1 << level)
+    b_lat = (max_ring - 1) * cell_lat * 111.0
+    if (2 * max_ring + 1) * cell_lng >= 360.0:
+        # the ring wraps the whole parallel: no point is outside-in-lng
+        bound_col = F.lit(b_lat)
+    else:
+        import math
+
+        half_gap = math.radians((max_ring - 1) * cell_lng) / 2.0
+        phi_max = F.least(
+            F.lit(90.0), F.abs(F.col("qlat")) + max_ring * cell_lat
+        )
+        b_lng = (
+            2.0
+            * CI.EARTH_RADIUS_KM
+            * F.asin(
+                F.greatest(F.lit(0.0), F.cos(F.radians(phi_max)))
+                * F.lit(math.sin(half_gap))
+            )
+        )
+        bound_col = F.least(F.lit(b_lat), b_lng)
     # ONE lazy plan, no driver-side action: topk is persisted (lazily)
     # and reused by all three branches; queries that fail the bound
     # anti-join out of `good` and re-enter via brute force.  When no
@@ -326,7 +360,12 @@ def knn_cells(
     per_q = topk.groupBy("query_id").agg(
         F.count("*").alias("found"), F.max("dist_km").alias("kth")
     )
-    bad = per_q.filter((F.col("found") < k) | (F.col("kth") > bound_km)).select("query_id")
+    per_q = per_q.join(
+        F.broadcast(qs.select("query_id", "qlat")), on="query_id"
+    )
+    bad = per_q.filter(
+        (F.col("found") < k) | (F.col("kth") > bound_col)
+    ).select("query_id")
     # partial=False: the straggler set is tiny (usually empty) and the
     # partial path's driver-side query collect would break this plan's
     # laziness — the literal window plan stays one lazy subtree that

@@ -139,12 +139,15 @@ def stream_near_dedup_documents(
        — the growing bucketed LSH index at rest that future batches
        join against.
 
-    A crash between the two writes can replay a batch and append its
-    keeper bands twice; duplicate keeper rows only create duplicate
-    join candidates (dropped by the distinct doc_id collect), never
-    wrong survivors.  Returns the started StreamingQuery."""
-    from pyspark.sql import functions as F  # noqa: F811 (local alias)
-
+    Crash-replay safety: a crash between the two writes can replay a
+    batch whose keeper bands were already appended.  The keeper join
+    therefore excludes same-doc matches (``kdoc != doc_id`` — a
+    document is never a near-dup of itself), so a replayed survivor
+    meeting its own earlier bands is NOT dropped; the replay
+    reproduces the identical survivor set and only duplicates keeper
+    band rows, which merely create duplicate join candidates (collapsed
+    by the distinct doc_id collect).  Returns the started
+    StreamingQuery."""
     from .textops import (
         N_HASHES,
         _band_structs,
@@ -170,19 +173,31 @@ def stream_near_dedup_documents(
             return
         sigs = minhash_signatures(batch_df).persist()
         bands = band_rows(sigs).persist()
-        try:
+        # explicit existence probe for the first batch ONLY — a real
+        # read failure on a later batch must FAIL the batch (the
+        # checkpoint retries it) rather than silently disabling
+        # cross-batch dedup and minting duplicate keepers
+        keeper_exists = any(
+            f.endswith(".parquet")
+            for _, _, files in os.walk(keeper_dir)
+            for f in files
+        ) if os.path.isdir(keeper_dir) else False
+        if keeper_exists:
             keeper = spark.read.parquet(keeper_dir).select(
                 F.col("doc_id").alias("kdoc"), F.col("sig").alias("ksig"),
                 "band", "bkey",
             )
             vs_keeper = (
                 bands.join(keeper, on=["band", "bkey"])
+                # crash-replay idempotence: never match a doc against
+                # its OWN earlier keeper bands
+                .filter(F.col("kdoc") != F.col("doc_id"))
                 .withColumn("est", est)
                 .filter(F.col("est") >= threshold)
                 .select("doc_id")
                 .distinct()
             )
-        except Exception:  # first batch: no keeper table yet
+        else:
             vs_keeper = None
         intra = (
             _lsh_candidates(sigs)
@@ -197,6 +212,10 @@ def stream_near_dedup_documents(
             .distinct()
         )
         dropped = intra if vs_keeper is None else vs_keeper.unionByName(intra).distinct()
+        # dropped is tiny (doc_ids only) but its plan re-reads the
+        # whole keeper table + both LSH joins — persist so the two
+        # writes below don't pay that twice per batch
+        dropped = dropped.persist()
         survivors = batch_df.join(dropped, on="doc_id", how="left_anti")
         survivors.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={batch_id}")
@@ -204,6 +223,7 @@ def stream_near_dedup_documents(
         band_rows(sigs.join(dropped, on="doc_id", how="left_anti")).write.mode(
             "append"
         ).parquet(keeper_dir)
+        dropped.unpersist()
         bands.unpersist()
         sigs.unpersist()
 

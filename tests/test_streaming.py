@@ -236,3 +236,47 @@ def test_stream_near_dedup_documents(spark, tmp_path):
     assert ids == [0, 1, 6], ids
     keeper = spark.read.parquet(str(tmp_path / "keeper"))
     assert set(r["doc_id"] for r in keeper.select("doc_id").distinct().collect()) == set(ids)
+
+
+def test_stream_near_dedup_replay_idempotent(spark, tmp_path):
+    """Crash-replay safety (r3 review finding): a replayed batch meets
+    its OWN keeper bands; without the kdoc != doc_id exclusion every
+    prior survivor self-matches at est=1.0 and vanishes from the
+    overwritten batch output.  Simulate by re-running the same input
+    with a FRESH checkpoint (full replay) against the populated
+    keeper."""
+    import pandas as pd
+
+    from mapalgebra_spark.streaming import stream_near_dedup_documents
+
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "completely separate first document about tiled rasters",
+                "another fully unrelated second document about streams",
+            ],
+            "lang": ["en"] * 2,
+            "source": ["s"] * 2,
+            "n_chars": [10, 10],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src / "b1"))
+
+    def run(ckpt):
+        q = stream_near_dedup_documents(
+            spark, f"{src}/*", str(tmp_path / "keeper"),
+            str(tmp_path / "out"), str(tmp_path / ckpt), threshold=0.6,
+        )
+        q.awaitTermination(120)
+        return sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out") + "/batch=*")
+            .select("doc_id").collect()
+        )
+
+    assert run("ckpt1") == [0, 1]
+    # replay: fresh checkpoint, keeper already holds both docs' bands
+    assert run("ckpt2") == [0, 1]
