@@ -78,6 +78,11 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int]:
                 raise ValueError(f"wav: {bits}-bit PCM unsupported")
             if ch == 0:
                 raise ValueError("wav: zero channels")
+            if sr == 0:
+                # would surface later as ZeroDivisionError in
+                # clip_features / degenerate fingerprint band edges —
+                # fail fast like every other malformed-fmt path
+                raise ValueError("wav: zero sample rate")
             fmt = (ch, sr, bits)
         elif cid == b"data":
             pcm = body
@@ -112,6 +117,14 @@ def clip_features(samples: np.ndarray, sr: int) -> dict:
     x = x / 32768.0
     nsamp = len(x)
     dur = nsamp / sr
+    if nsamp == 0:
+        # a structurally valid WAV may carry an empty data chunk;
+        # np.fft.rfft raises on 0 points — emit all-silent features
+        # instead of killing the whole mapInPandas batch
+        return dict(
+            duration_s=0.0, rms=0.0, zcr=0.0, centroid_hz=0.0,
+            rolloff_hz=0.0, silence_ratio=1.0,
+        )
     rms = float(np.sqrt(np.mean(x * x))) if nsamp else 0.0
     zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if nsamp > 1 else 0.0
     spec = np.abs(np.fft.rfft(x))
@@ -248,54 +261,13 @@ def audio_near_pairs(features: DataFrame, max_hamming: int = 8) -> DataFrame:
     chunk of 4 (guaranteed for hamming <= 3; recall-oriented above),
     so the self-join meets only inside chunk buckets.
 
-    The (id, fingerprint) base is persisted — Spark computes an
-    unpersisted subplan once PER JOIN SIDE, and here that subplan is
-    the decode-everything feature stage.  The handle is attached to
-    the result (cacheutil) so callers can drop it after materializing."""
-    from .cacheutil import attach_bases
+    The (id, fingerprint) base is persisted inside the shared join —
+    Spark computes an unpersisted subplan once PER JOIN SIDE, and here
+    that subplan is the decode-everything feature stage.  The handle is
+    attached to the result (cacheutil) so callers can drop it after
+    materializing."""
+    from .hashjoin import banded_hamming_pairs
 
-    base = features.select("audio_id", "fingerprint").persist()
-    chunks = base.select(
-        F.col("audio_id"),
-        F.col("fingerprint"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("fingerprint"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
-    ).select(
-        "audio_id",
-        "fingerprint",
-        F.col("ck.chunk").alias("chunk"),
-        F.col("ck.key").alias("key"),
+    return banded_hamming_pairs(
+        features, "audio_id", "fingerprint", "clip_a", "clip_b", max_hamming
     )
-    l, r = chunks.alias("l"), chunks.alias("r")
-    pairs = (
-        l.join(
-            r,
-            on=[
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.key") == F.col("r.key"),
-                F.col("l.audio_id") < F.col("r.audio_id"),
-            ],
-        )
-        .select(
-            F.col("l.audio_id").alias("clip_a"),
-            F.col("r.audio_id").alias("clip_b"),
-            F.col("l.fingerprint").alias("ha"),
-            F.col("r.fingerprint").alias("hb"),
-        )
-        .dropDuplicates(["clip_a", "clip_b"])
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("clip_a", "clip_b", "hamming")
-    )
-    return attach_bases(pairs, [base])

@@ -200,54 +200,16 @@ def phash_near_pairs(images: DataFrame, max_hamming: int = 6) -> DataFrame:
     larger budgets are recall-oriented).  Join is chunk-bucketed —
     never a full cross join.
 
-    The (id, phash) base is persisted — an unpersisted subplan runs
-    once PER JOIN SIDE, and when the caller passes thumbnails() output
-    directly that subplan decodes every image.  Handle attached via
-    cacheutil for post-materialization release."""
-    from .cacheutil import attach_bases
+    The (id, phash) base is persisted inside the shared join — an
+    unpersisted subplan runs once PER JOIN SIDE, and when the caller
+    passes thumbnails() output directly that subplan decodes every
+    image.  Handle attached via cacheutil for post-materialization
+    release."""
+    from .hashjoin import banded_hamming_pairs
 
-    base = images.select("image_id", "phash").persist()
-    chunks = base.select(
-        F.col("image_id"),
-        F.col("phash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("phash"), c * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("key"),
-                    )
-                    for c in range(4)
-                ]
-            )
-        ).alias("ck"),
-    ).select(
-        "image_id", "phash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key")
+    return banded_hamming_pairs(
+        images, "image_id", "phash", "img_a", "img_b", max_hamming
     )
-    l, r = chunks.alias("l"), chunks.alias("r")
-    pairs = (
-        l.join(
-            r,
-            on=[
-                F.col("l.chunk") == F.col("r.chunk"),
-                F.col("l.key") == F.col("r.key"),
-                F.col("l.image_id") < F.col("r.image_id"),
-            ],
-        )
-        .select(
-            F.col("l.image_id").alias("img_a"),
-            F.col("r.image_id").alias("img_b"),
-            F.col("l.phash").alias("ha"),
-            F.col("r.phash").alias("hb"),
-        )
-        .dropDuplicates(["img_a", "img_b"])
-        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("img_a", "img_b", "hamming")
-    )
-    return attach_bases(pairs, [base])
 
 
 FRAME_SCHEMA = T.StructType(

@@ -212,12 +212,23 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:  # byte stuffing
                 self.out.append(0x00)
+        # truncate the accumulator to the residual bits: without this
+        # the Python int grows with every bit ever written and each
+        # shift becomes O(stream length) — quadratic encode (measured
+        # 14x time for 4x pixels before the fix)
+        self.acc &= (1 << self.nbits) - 1
 
     def flush(self):
         """Pad the final partial byte with 1-bits (T.81 F.1.2.3)."""
         if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+
+#: MSB-first bit weights, hoisted: peek16/read run once per Huffman
+#: symbol — rebuilding the power array per call was the entropy-decode
+#: hot loop's dominant allocation (r3 review finding)
+_POW2_16 = (1 << np.arange(15, -1, -1, dtype=np.int64))
 
 
 class _BitReader:
@@ -240,14 +251,14 @@ class _BitReader:
 
     def peek16(self) -> int:
         b = self.bits[self.pos : self.pos + 16]
-        return int(b.dot(1 << np.arange(15, -1, -1)))
+        return int(b.dot(_POW2_16))
 
     def read(self, n: int) -> int:
         if n == 0:
             return 0
         b = self.bits[self.pos : self.pos + n]
         self.pos += n
-        return int(b.dot(1 << np.arange(n - 1, -1, -1, dtype=np.int64)))
+        return int(b.dot(_POW2_16[16 - n :]))
 
 
 def _extend(v: int, size: int) -> int:
@@ -622,7 +633,21 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("jpeg: SOS before SOF")
+            if scan_data is not None:
+                # a second SOS = multi-scan (non-interleaved per
+                # component) baseline file; silently decoding only the
+                # LAST scan would leave the other planes zero (r3
+                # review finding) — fail fast per the module contract
+                raise ValueError(
+                    "jpeg: multi-scan baseline (one scan per component) "
+                    "not supported; re-encode interleaved"
+                )
             ns = seg[0]
+            if ns != len(comps):
+                raise ValueError(
+                    f"jpeg: partial scan ({ns} of {len(comps)} components) "
+                    "not supported"
+                )
             scan_order = []
             for si in range(ns):
                 cs, tables = seg[1 + 2 * si : 3 + 2 * si]

@@ -134,8 +134,18 @@ class Job:
                 self.root, "snapshots", self.job_id, st.name,
                 f"snap-{uuid.uuid4().hex[:12]}"
             )
-            df = st.fn(self.spark, {k: outputs[k] for k in st.inputs})
-            df.write.mode("errorifexists").parquet(out_path)
+            try:
+                df = st.fn(self.spark, {k: outputs[k] for k in st.inputs})
+                df.write.mode("errorifexists").parquet(out_path)
+            except Exception:
+                # record the failure in the audit table before
+                # propagating — otherwise 'crashed in stage X' is
+                # indistinguishable from 'never reached stage X', and
+                # the orphaned uncommitted snap-* dir goes unrecorded
+                self._record_metrics(
+                    st.name, time.perf_counter() - t0, 0, 0, "failed"
+                )
+                raise
             # rows / partitions / bytes come from the parquet footers the
             # write just produced (one metadata read per file) — the
             # write is the ONLY job that touches the stage's data

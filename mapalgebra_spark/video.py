@@ -127,8 +127,12 @@ def _find_list(data: bytes, fourcc: bytes) -> tuple[int, int] | None:
 
 def avi_frames(data: bytes):
     """Yield (frame_idx, jpeg_bytes) for each video chunk, without
-    decoding pixels.  Recognizes ``00dc``/``00db`` stream-0 chunks and
-    skips ``rec `` grouping lists."""
+    decoding pixels.  Recognizes ``NNdc``/``NNdb`` video chunks of ANY
+    stream number (a valid MJPEG AVI whose audio strl is listed first
+    carries ``01dc`` video chunks — the old stream-0-only match made
+    such clips silently vanish, r3 review finding) and skips ``rec ``
+    grouping lists.  A movi list with no video chunk at all fails fast
+    per the module contract."""
     movi = _find_list(data, b"movi")
     if movi is None:
         raise ValueError("avi: missing movi list")
@@ -140,11 +144,17 @@ def avi_frames(data: bytes):
         for cc, p, clen in _walk_chunks(data, s, e):
             if cc == b"LIST" and data[p : p + 4] == b"rec ":
                 yield from walk(p + 4, p + clen)
-            elif cc in (b"00dc", b"00db"):
+            elif (
+                len(cc) == 4
+                and cc[:2].isdigit()
+                and cc[2:] in (b"dc", b"db")
+            ):
                 yield idx, data[p : p + clen]
                 idx += 1
 
     yield from walk(start, end)
+    if idx == 0:
+        raise ValueError("avi: movi list contains no video (dc/db) chunks")
 
 
 def sample_frames(
