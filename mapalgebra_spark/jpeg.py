@@ -256,6 +256,11 @@ class _BitReader:
     def read(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 16:
+            # the _POW2_16 weight slice below is only correct for
+            # n <= 16 (baseline's max receive length); larger n would
+            # silently return wrong values (r3 advice)
+            raise ValueError(f"_BitReader.read: n={n} > 16 unsupported")
         b = self.bits[self.pos : self.pos + n]
         self.pos += n
         return int(b.dot(_POW2_16[16 - n :]))

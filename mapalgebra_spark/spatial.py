@@ -360,11 +360,14 @@ def knn_cells(
     per_q = topk.groupBy("query_id").agg(
         F.count("*").alias("found"), F.max("dist_km").alias("kth")
     )
-    per_q = per_q.join(
-        F.broadcast(qs.select("query_id", "qlat")), on="query_id"
-    )
+    # LEFT join from the query table, not from per_q: a query whose
+    # ring-limited candidate set is EMPTY has no topk rows at all, so
+    # an inner join from per_q would silently drop it from both `good`
+    # and `bad` (r3 advice).  coalesce(found,0) < k routes such
+    # queries to the brute-force fallback like any other straggler.
+    per_q = qs.select("query_id", "qlat").join(per_q, on="query_id", how="left")
     bad = per_q.filter(
-        (F.col("found") < k) | (F.col("kth") > bound_col)
+        (F.coalesce(F.col("found"), F.lit(0)) < k) | (F.col("kth") > bound_col)
     ).select("query_id")
     # partial=False: the straggler set is tiny (usually empty) and the
     # partial path's driver-side query collect would break this plan's

@@ -130,17 +130,23 @@ def avi_frames(data: bytes):
     decoding pixels.  Recognizes ``NNdc``/``NNdb`` video chunks of ANY
     stream number (a valid MJPEG AVI whose audio strl is listed first
     carries ``01dc`` video chunks — the old stream-0-only match made
-    such clips silently vanish, r3 review finding) and skips ``rec ``
-    grouping lists.  A movi list with no video chunk at all fails fast
+    such clips silently vanish, r3 review finding) but locks onto the
+    id of the FIRST such stream, skipping chunks of any other stream,
+    and skips ``rec `` grouping lists.  A movi list with no video chunk at all fails fast
     per the module contract."""
     movi = _find_list(data, b"movi")
     if movi is None:
         raise ValueError("avi: missing movi list")
     start, end = movi
     idx = 0
+    # lock onto ONE stream: the id of the first dc/db chunk seen.  A
+    # file carrying two video streams (or stray db chunks from another
+    # stream) must not interleave into a single frame-index sequence
+    # and miscount frames (r3 advice).
+    stream_id = None
 
     def walk(s, e):
-        nonlocal idx
+        nonlocal idx, stream_id
         for cc, p, clen in _walk_chunks(data, s, e):
             if cc == b"LIST" and data[p : p + 4] == b"rec ":
                 yield from walk(p + 4, p + clen)
@@ -149,6 +155,10 @@ def avi_frames(data: bytes):
                 and cc[:2].isdigit()
                 and cc[2:] in (b"dc", b"db")
             ):
+                if stream_id is None:
+                    stream_id = cc[:2]
+                elif cc[:2] != stream_id:
+                    continue
                 yield idx, data[p : p + clen]
                 idx += 1
 
