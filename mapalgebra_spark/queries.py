@@ -1954,49 +1954,51 @@ FROM media
 # registry
 # ---------------------------------------------------------------------------
 
-# Registry ORDER matters: the round-1 driver validated exactly the
-# FIRST 50 entries (CORRECTNESS_r01 = positions 1-50 of this dict in
-# insertion order), so the first 50 slots hold one query per DISTINCT
-# operator — ALL 50 with exact DuckDB oracles (finsularity's clump
-# count folds to a 4096-entry LUT over the window's 12 equality bits).
-# Positions 51+ are parameter VARIANTS
-# of already-hash-validated base ops (radius-2, NoData, extra histogram
-# binnings, a quality-scores subset) plus round-3 additions (multimodal
-# ops, areal corner ops, breaks, cell index, colorize — each with its
-# own exact oracle); they stay registered — bench.py times them and
-# tests/test_oracle_pairs.py hash-checks them locally — and they're
+# Registry ORDER matters: the driver validates exactly the FIRST 50
+# entries (CORRECTNESS_r{N} = positions 1-50 of this dict in insertion
+# order), so the first 50 slots hold the queries users actually run —
+# ALL with exact DuckDB oracles (finsularity's clump count folds to a
+# 4096-entry LUT over the window's 12 equality bits; breaks replays
+# the reference fold in a recursive CTE).  Round 4 rotated the r3
+# flagship additions INTO the window per the r3 verdict — evi (the
+# reference's fused composite), breaks, zonal_polygons, fshape,
+# image_near_dup, colorize — displacing six sibling variants whose
+# twin stays validated (lmin/lmax, lminority/lmajority, fmin/fmax,
+# fminority/fmajority, upsample nearest/bilinear, knn exact/cells —
+# knn_cells' brute-force fallback exercises the exact path too).
+# Positions 51+ remain registered: bench.py times them and
+# tests/test_oracle_pairs.py hash-checks every pair locally — they are
 # the right entries to fall outside a capped driver window.
 QUERIES = {
     # local / zonal / streaming
     "classify_grid": q_classify,
     "lmax_grid": q_lmax,
-    "lmin_grid": q_lmin,
     "lmean_grid": q_lmean,
     "lvariance_grid": q_lvariance,
     "lvariety_grid": q_lvariety,
     "lmajority_grid": q_lmajority,
-    "lminority_grid": q_lminority,
     "histogram_grid": q_histogram,
     "zonal_grid": q_zonal,
     "zonal_var_grid": q_zonal_var,
     "event_windows": q_event_windows,
+    # the reference's flagship fused Num/Fractional composite
+    "evi_grid": q_evi,
+    # histogram -> reference break fold (recursive-CTE oracle)
+    "breaks_grid": q_breaks,
     # focal
     "fsum_grid": q_fsum,
     "fproduct_grid": q_fproduct,
     "lsum_grid": q_lsum,
     "fmean_grid": q_fmean,
     "fmax_grid": q_fmax,
-    "fmin_grid": q_fmin,
     "fvariety_grid": q_fvariety,
     "fmajority_grid": q_fmajority,
-    "fminority_grid": q_fminority,
     "fpercentage_grid": q_fpercentage,
     "fpercentile_grid": q_fpercentile,
     "frank_grid": q_frank,
     "finsularity_grid": q_finsularity,
-    "upsample_nearest_grid": q_upsample_nearest,
     "upsample_bilinear_grid": q_upsample_bilinear,
-    # surficial / lineal
+    # surficial / lineal / areal
     "fvolume_grid": q_fvolume,
     "fgradient_grid": q_fgradient,
     "faspect_grid": q_faspect,
@@ -2004,9 +2006,13 @@ QUERIES = {
     "flength_grid": q_flength,
     "fdownstream_grid": q_fdownstream,
     "fupstream_grid": q_fupstream,
+    "fshape_grid": q_fshape,
     "reproject_raster_grid": q_reproject_raster,
+    # colour pipeline back half (classify+ramp+invisible -> RGBA)
+    "colorize_grid": q_colorize,
+    # raster<->vector zonal: rasterize_polygons -> zonal_stats
+    "zonal_polygons": q_zonal_polygons,
     # spatial
-    "knn_exact": q_knn,
     "knn_cells": q_knn_cells,
     "pip_rect": q_pip,
     "reproject_points": q_reproject,
@@ -2022,7 +2028,16 @@ QUERIES = {
     "simhash": q_simhash,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
-    # ---- position 51+: variants of hash-validated base ops ----
+    # multimodal near-dup through the real image codecs (oracle =
+    # planted byte-duplicates; see section docstring)
+    "image_near_dup": q_image_near_dup,
+    # ---- position 51+: siblings/variants of hash-validated ops ----
+    "lmin_grid": q_lmin,
+    "lminority_grid": q_lminority,
+    "fmin_grid": q_fmin,
+    "fminority_grid": q_fminority,
+    "upsample_nearest_grid": q_upsample_nearest,
+    "knn_exact": q_knn,
     "fsum_r2_grid": q_fsum_r2,
     "fmean_r2_grid": q_fmean_r2,
     "fmax_r2_grid": q_fmax_r2,
@@ -2031,30 +2046,19 @@ QUERIES = {
     "histogram_int_grid": q_histogram_int,
     "histogram_float_grid": q_histogram_float,
     "doc_quality": q_doc_quality,
-    # ---- multimodal ops through the real codecs (oracle = planted-
-    # duplicate / arithmetic reconstruction; see section docstring) ----
-    "image_near_dup": q_image_near_dup,
+    # multimodal ops through the real audio/video codecs
     "audio_near_dup": q_audio_near_dup,
     "video_frames": q_video_frames,
-    # ---- areal corner-topology ops (MA:902-1038), previously
-    # golden-tested only; Surround CASE-cascade oracles ----
+    # areal corner-topology ops (MA:902-1038)
     "fpartition_grid": q_fpartition,
-    "fshape_grid": q_fshape,
     "ffrontage_grid": q_ffrontage,
     "farea_grid": q_farea,
-    # breaks: histogram -> reference break fold (recursive-CTE oracle)
-    "breaks_grid": q_breaks,
-    # cell index + colour pipeline back half + overview pyramid
+    # cell index + overview pyramid
     "cell_points": q_cell_points,
-    "colorize_grid": q_colorize,
     "pyramid_grid": q_pyramid,
     # extension point (user monoid) + skew machinery under the oracle
     "fmonoid_or_grid": q_fmonoid_or,
     "salted_join_agg": q_salted_join,
     # creation ops: distributed fromFunction round-trip
     "from_function_grid": q_from_function,
-    # the reference's flagship fused Num/Fractional composite
-    "evi_grid": q_evi,
-    # raster<->vector zonal: rasterize_polygons -> zonal_stats
-    "zonal_polygons": q_zonal_polygons,
 }
