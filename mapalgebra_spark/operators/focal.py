@@ -157,6 +157,65 @@ def _strips_jvm(src):
     )
 
 
+def _apply_specs_to_tile(specs, core, strips_raw, at, checksum):
+    """Apply every FocalSpec to one tile's core + received strips.
+
+    Returns ``{name: float_sum}`` for the checksum sink, else
+    ``{name: (blob, dtype_str, planes, aux_dict)}``.  Shared by the
+    join-halo and stream-halo runners so the two paths cannot diverge
+    semantically.  Interior tiles share ONE assembled block across ops
+    with different border modes (the mode never fires there)."""
+    padded_cache: dict[tuple, np.ndarray] = {}
+    at_edge = any(at.values())
+    out = {}
+    for s in specs:
+        ck = (
+            (s.mode, s.fill if s.mode == K.BORDER_FILL else None, s.cast)
+            if at_edge
+            else ("interior", s.cast)
+        )
+        if ck not in padded_cache:
+            # cast lazily, ONLY on a cache miss — on a hit (second op
+            # sharing the assembled block) a core-sized astype would be
+            # pure wasted memory traffic
+            c = core.astype(np.dtype(s.cast)) if s.cast else core
+            st = strips_raw
+            if s.cast:
+                st = {k: v.astype(np.dtype(s.cast)) for k, v in strips_raw.items()}
+            padded_cache[ck] = assemble_halo(c, st, s.mode, s.fill, **at)
+        res = np.asarray(s.kernel(padded_cache[ck]))
+        if s.out_cast:
+            res = res.astype(np.dtype(s.out_cast))
+        if checksum:
+            out[s.name] = float(res.sum(dtype=np.float64))
+        else:
+            from ..tiles import aux_blobs
+
+            out[s.name] = (
+                encode_block(res),
+                str(res.dtype),
+                res.shape[0] if res.ndim == 3 else 1,
+                aux_blobs(res),
+            )
+    return out
+
+
+def _pa_type(dt):
+    import pyarrow as pa
+
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    raise TypeError(f"unmapped Spark type {dt}")
+
+
 def focal_multi(
     tr: TileRaster,
     ops: list[str | FocalSpec],
@@ -165,6 +224,8 @@ def focal_multi(
     persist_combined: bool = True,
     out_dtype: str | None = None,
     sink: str = "tiles",
+    halo: str = "join",
+    presorted: bool = False,
 ) -> dict[str, TileRaster]:
     """Run several focal ops over ONE halo materialization.
 
@@ -190,20 +251,57 @@ def focal_multi(
     JVM measures the box's memory system, not the engine.  The sums
     double as a cross-check against the tile sink (same values, either
     path).
+
+    ``halo`` selects the halo-materialization strategy; both produce
+    BIT-IDENTICAL outputs (pinned by tests/test_stream_halo.py):
+
+    * ``"join"`` (default) — strip explode → collect_list agg →
+      shuffle-hash join (module docstring).  Parallelism = #tiles;
+      right for FEW LARGE rasters, and for tile tables partitioned on
+      the full (raster_id, band, ty, tx) key.
+    * ``"stream"`` — zero-join streaming stencil: the table is
+      partitioned by (raster_id, band) and sorted (ty, tx) within
+      partitions; one ``mapInArrow`` pass buffers <= 3 tile rows per
+      raster and slices halo strips straight out of neighbour cores.
+      No strip explode, no agg, no join — measured +45% flagship
+      throughput at width 32 (BENCH/BASELINE.md).  Parallelism =
+      #(raster_id, band) groups, so it needs MANY rasters (the 10^12-
+      image posture: groups >> cores); a single huge raster would run
+      on one core — use "join" there.  ``presorted=True`` skips the
+      repartition+sort when the table at rest already has the layout
+      (bucketed+sorted table, or a sort reused across stages).
     """
+    if halo not in ("join", "stream"):
+        raise ValueError(f"halo must be 'join' or 'stream', got {halo!r}")
     specs = [FOCAL_OPS[o] if isinstance(o, str) else o for o in ops]
     if out_dtype is not None:
         from dataclasses import replace as _dc_replace
 
         specs = [_dc_replace(sp, out_cast=out_dtype) for sp in specs]
     src = tr.strict().df
-    if repartition:
-        src = src.repartition(*(
-            [num_partitions] if num_partitions else []
-        ), *[F.col(c) for c in KEY_COLS])
-    strips = _strips_jvm(src)
-    halo = strips.groupBy(*KEY_COLS).agg(F.collect_list("strip_entry").alias("halo"))
-    joined = src.join(halo.hint("shuffle_hash"), on=KEY_COLS, how="left")
+    if halo == "stream":
+        # stream-halo contract: all tiles of one (raster_id, band) in
+        # ONE partition, rows sorted (ty, tx) row-major, DENSE grid.
+        # ``presorted=True`` asserts the caller's table already has this
+        # layout (a bucketed+sorted tile table at rest — Hive/Iceberg
+        # bucket-sort orders — or an upstream repartition+sort reused
+        # across stages); otherwise it is established here.
+        if not presorted:
+            src = src.repartition(
+                *([num_partitions] if num_partitions else []),
+                F.col("raster_id"), F.col("band"),
+            ).sortWithinPartitions(*KEY_COLS)
+        joined = None
+    else:
+        if repartition:
+            src = src.repartition(*(
+                [num_partitions] if num_partitions else []
+            ), *[F.col(c) for c in KEY_COLS])
+        strips = _strips_jvm(src)
+        halo_df = strips.groupBy(*KEY_COLS).agg(
+            F.collect_list("strip_entry").alias("halo")
+        )
+        joined = src.join(halo_df.hint("shuffle_hash"), on=KEY_COLS, how="left")
 
     from ..tiles import AUX_COLS, aux_blobs
 
@@ -271,38 +369,18 @@ def focal_multi(
                     at_w=tx == 0,
                     at_e=tx == int(cols["ntx"][r]) - 1,
                 )
-                padded_cache: dict[tuple, np.ndarray] = {}
-                at_edge = any(at.values())
+                per_op = _apply_specs_to_tile(specs, core, strips_raw, at, checksum)
                 for s in specs:
-                    c = core.astype(np.dtype(s.cast)) if s.cast else core
-                    # interior tiles take every halo pixel from received
-                    # strips — the border mode never fires, so ops with
-                    # different modes share ONE assembled block (halves
-                    # the dominant memory traffic for multi-op runs)
-                    ck = (
-                        (s.mode, s.fill if s.mode == K.BORDER_FILL else None, s.cast)
-                        if at_edge
-                        else ("interior", s.cast)
-                    )
-                    if ck not in padded_cache:
-                        st = strips_raw
-                        if s.cast:
-                            st = {
-                                k: v.astype(np.dtype(s.cast)) for k, v in strips_raw.items()
-                            }
-                        padded_cache[ck] = assemble_halo(c, st, s.mode, s.fill, **at)
-                    res = np.asarray(s.kernel(padded_cache[ck]))
-                    if s.out_cast:
-                        res = res.astype(np.dtype(s.out_cast))
                     if checksum:
                         # reduce in place of materializing: same kernel
                         # output (post out_cast), one double per tile
-                        res_sum[s.name][r] = float(res.sum(dtype=np.float64))
+                        res_sum[s.name][r] = per_op[s.name]
                         continue
-                    res_cols[f"tile_{s.name}"][r] = encode_block(res)
-                    res_dt[s.name][r] = str(res.dtype)
-                    res_pl[s.name][r] = res.shape[0] if res.ndim == 3 else 1
-                    for c, v in aux_blobs(res).items():
+                    blob, dt, pl, aux = per_op[s.name]
+                    res_cols[f"tile_{s.name}"][r] = blob
+                    res_dt[s.name][r] = dt
+                    res_pl[s.name][r] = pl
+                    for c, v in aux.items():
                         res_aux[(s.name, c)][r] = v
             arrays, names = [], []
             for f in out_fields:
@@ -327,7 +405,135 @@ def focal_multi(
                     )
             yield pa.RecordBatch.from_arrays(arrays, names)
 
-    combined = joined.mapInArrow(run, out_schema)
+    from ..tiles import STRIP_SENDS
+
+    def run_stream(batches):
+        """Stream-halo runner: ONE pass over a partition whose rows are
+        sorted (raster_id, band, ty, tx).  Buffers at most 3 tile ROWS
+        per raster-band group (a tile row is emitted once its south
+        neighbour row is complete — detected when the first row of
+        ty+2 arrives, or at group end), so worker memory is
+        O(3 * ntx * tile_bytes) — never a whole raster.  Halo strips
+        are SLICES of already-decoded neighbour cores: no aux columns,
+        no strip explode, no collect_list agg, no join — the group
+        partitioning is the only data movement, and over a
+        bucketed+sorted table at rest even that is free."""
+        group = None          # (raster_id, band)
+        meta = None           # (nty, ntx) of the current group
+        buf: dict[int, dict] = {}   # ty -> {tx: (plain_tuple, core)}
+        next_emit = 0
+        out_vals: dict[str, list] = {f.name: [] for f in out_fields}
+        n_out = 0
+        plain_idx = {c: i for i, c in enumerate(plain_cols)}
+
+        def emit_tile(plain, core, ty, tx, nty, ntx):
+            nonlocal n_out
+            at = dict(at_n=ty == 0, at_s=ty == nty - 1,
+                      at_w=tx == 0, at_e=tx == ntx - 1)
+            strips_raw = {}
+            missing = []
+            for dty, dtx, pos, slicer in STRIP_SENDS:
+                srow = buf.get(ty - dty)
+                nb = srow.get(tx - dtx) if srow else None
+                if nb is not None:
+                    strips_raw[pos] = slicer(nb[1])
+                elif 0 <= ty - dty < nty and 0 <= tx - dtx < ntx:
+                    missing.append((ty - dty, tx - dtx))
+            if missing:
+                raise ValueError(
+                    "stream halo: dense-grid contract violated — group "
+                    f"{group} tile ({ty},{tx}) is missing neighbour "
+                    f"tiles {missing}"
+                )
+            per_op = _apply_specs_to_tile(specs, core, strips_raw, at, checksum)
+            for c in plain_cols:
+                out_vals[c].append(plain[plain_idx[c]])
+            for s in specs:
+                if checksum:
+                    out_vals[f"sum_{s.name}"].append(per_op[s.name])
+                else:
+                    blob, dt, pl, aux = per_op[s.name]
+                    out_vals[f"tile_{s.name}"].append(blob)
+                    out_vals[f"dtype_{s.name}"].append(dt)
+                    out_vals[f"planes_{s.name}"].append(pl)
+                    for cn, v in aux.items():
+                        out_vals[f"{cn}_{s.name}"].append(v)
+            n_out += 1
+
+        def emit_ty_row(t):
+            row = buf.get(t)
+            if row is None:
+                return
+            nty, ntx = meta
+            if len(row) != ntx:
+                raise ValueError(
+                    "stream halo: dense-grid contract violated — group "
+                    f"{group} row ty={t} has {len(row)}/{ntx} tiles"
+                )
+            for tx in sorted(row):
+                plain, core = row[tx]
+                emit_tile(plain, core, t, tx, nty, ntx)
+
+        def finish_group():
+            nonlocal next_emit
+            for t in sorted(k for k in buf if k >= next_emit):
+                emit_ty_row(t)
+            buf.clear()
+            next_emit = 0
+
+        def pop_batch():
+            nonlocal n_out
+            arrays = [
+                pa.array(out_vals[f.name], type=_pa_type(f.dataType))
+                for f in out_fields
+            ]
+            for f in out_fields:
+                out_vals[f.name].clear()
+            n_out = 0
+            return pa.RecordBatch.from_arrays(
+                arrays, [f.name for f in out_fields]
+            )
+
+        for batch in batches:
+            pcols = {}
+            for c in plain_cols:
+                col = batch.column(c)
+                pcols[c] = (
+                    col.to_pylist() if pa.types.is_string(col.type)
+                    else col.to_numpy(zero_copy_only=False)
+                )
+            tiles_col = _binary_views(batch.column("tile"))
+            dtype_col = batch.column("dtype").to_pylist()
+            planes_col = batch.column("planes").to_numpy(zero_copy_only=False)
+            for r in range(batch.num_rows):
+                key = (pcols["raster_id"][r], int(pcols["band"][r]))
+                if key != group:
+                    finish_group()
+                    group = key
+                    meta = (int(pcols["nty"][r]), int(pcols["ntx"][r]))
+                ty, tx = int(pcols["ty"][r]), int(pcols["tx"][r])
+                core = decode_block(
+                    tiles_col[r], dtype_col[r],
+                    int(pcols["h"][r]), int(pcols["w"][r]),
+                    int(planes_col[r]),
+                )
+                plain = tuple(pcols[c][r] for c in plain_cols)
+                buf.setdefault(ty, {})[tx] = (plain, core)
+                # rows <= ty-2 have their south neighbour row complete
+                while next_emit <= ty - 2:
+                    emit_ty_row(next_emit)
+                    buf.pop(next_emit - 1, None)
+                    next_emit += 1
+            if n_out >= 256:
+                yield pop_batch()
+        finish_group()
+        if n_out:
+            yield pop_batch()
+
+    if halo == "stream":
+        combined = src.mapInArrow(run_stream, out_schema)
+    else:
+        combined = joined.mapInArrow(run, out_schema)
     if checksum:
         return combined  # (key cols, sum_<op> doubles) — see docstring
     if len(specs) > 1 and persist_combined:
