@@ -651,6 +651,29 @@ def q_knn_cells(spark, sf_dir):
     )
 
 
+def knn_cells_diagnostics(spark, sf_dir):
+    """Untimed scale diagnostics for q_knn_cells (r3 verdict item 6):
+    brute-force fallback count and ring-join candidate volume at this
+    sf, with q_knn_cells' exact parameters.  bench.py publishes these
+    next to the query's wall time so a slow run can be attributed
+    (fallbacks > 0 => the ring bound tripped; candidate rows explain
+    the join volume)."""
+    pts = _customer_points(spark, sf_dir)
+    qs = _supplier_queries(spark, sf_dir)
+    stats: dict = {}
+    out = SP.knn_cells(spark, qs, pts, k=5, level=7, max_ring=8, stats=stats)
+    try:
+        return {
+            "queries": qs.count(),
+            "fallbacks": stats["bad"].count(),
+            "ring_candidate_rows": stats["candidates"].count(),
+        }
+    finally:
+        from .cacheutil import unpersist_bases
+
+        unpersist_bases(out)
+
+
 def _nation_rects(spark, sf_dir):
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     return n.select(

@@ -275,6 +275,7 @@ def knn_cells(
     k: int = 5,
     level: int = 6,
     max_ring: int = 8,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Cell-pruned kNN: candidates limited to expanding Chebyshev rings
     of cells around each query, with a correctness check — a query's
@@ -369,6 +370,13 @@ def knn_cells(
     bad = per_q.filter(
         (F.coalesce(F.col("found"), F.lit(0)) < k) | (F.col("kth") > bound_col)
     ).select("query_id")
+    if stats is not None:
+        # LAZY diagnostic handles (count them outside any timed region):
+        # how many queries took the brute-force fallback, and the ring
+        # join's candidate volume — the two numbers that explain this
+        # query's cost profile at a given sf (r3 verdict item 6)
+        stats["bad"] = bad
+        stats["candidates"] = cand
     # partial=False: the straggler set is tiny (usually empty) and the
     # partial path's driver-side query collect would break this plan's
     # laziness — the literal window plan stays one lazy subtree that
