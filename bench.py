@@ -703,9 +703,12 @@ def main():
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write("# BENCH/BASELINE.md — measured at build time\n\n")
         f.write("Flagship: focal fmean+fgradient over cell-indexed 256x256 tiles\n")
-        f.write(f"of {N_IMAGES} synthetic images (input_hint schema), one halo\n")
-        f.write("strip-shuffle per job; kernels in float32 (8-bit imagery: 3x3\n")
-        f.write("sums exact; oracle-checked grid queries keep full float64).\n")
+        f.write(f"of {N_IMAGES} synthetic images (input_hint schema); halo\n")
+        f.write(f"strategy '{os.environ.get('SPARK_GRAFT_HALO', 'stream')}'"
+                " (stream = zero-join stencil over the sorted\n")
+        f.write("image-partitioned table, no shuffle at all; join = r1-r3\n")
+        f.write("strip-shuffle protocol).  Kernels in float32 (8-bit imagery:\n")
+        f.write("3x3 sums exact; oracle-checked grid queries keep full float64).\n")
         f.write("Every leg: fresh JVM, input persisted + one full untimed warm\n")
         f.write("pass outside the timed region, best of the timed runs.\n\n")
         f.write("## North-rule gate — N vs 4N executors, pinned-core emulation\n\n")
@@ -787,8 +790,12 @@ def main():
                 )
             f.write(
                 f"\nMedian area-adjusted ratio: **{pair32['median_ratio']}**"
-                " (stream halo; the r3 join path measured ~0.62 under the\n"
-                "same adjustment).  Residual decomposition (BENCH/\n"
+                " (stream halo).  Ratios are only comparable WITHIN a\n"
+                "round: the denominator (the numpy pool itself) swings\n"
+                "~±40% across windows on this host, so same-window raw\n"
+                "tiles/sec is the cross-strategy comparison — join-halo\n"
+                "13.1k vs stream-halo 19-20k in the r4 quiet window\n"
+                "(+45%).  Residual decomposition (BENCH/\n"
                 "profile_breakdown.py, measured this round): the stream path\n"
                 "sits AT the no-halo floor — scan ~0.1s, Arrow hop ~0.9s,\n"
                 "decode+cast+pad+kernels ~2.5s on 68k tiles — so the gap to\n"
