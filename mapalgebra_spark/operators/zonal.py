@@ -103,6 +103,59 @@ def zonal_stats(values: TileRaster, zones: TileRaster) -> DataFrame:
     return _final_agg(joined.df.mapInPandas(partial, _PARTIAL_SCHEMA))
 
 
+_CENSUS_SCHEMA = T.StructType(
+    [
+        T.StructField("zone", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+        T.StructField("pcnt", T.LongType()),
+    ]
+)
+
+
+def zonal_census(values: TileRaster, zones: TileRaster) -> DataFrame:
+    """Zonal category census (cross-tab): (zone, val, n) — how many
+    cells of each distinct value fall in each zone.  The categorical
+    zonal op (zonal majority/minority/variety are one GROUP BY away
+    from it); e.g. a per-district colour census of a classified map.
+
+    Scale shape mirrors :func:`zonal_stats`: a per-tile ``np.unique``
+    over (zone, value) pairs shrinks each 64Ki-cell tile to its
+    distinct pairs BEFORE the shuffle, and the final built-in groupBy
+    sums the partial counts — shuffle volume is O(zones x categories),
+    never O(pixels).  Values are grouped exactly as float64 (intended
+    for categorical/integral rasters); NaN cells are dropped — a
+    census requires finite categories."""
+    values = values.strict()
+    zones = zones.strict()
+    joined = values.zip_with(zones, lambda v, z: (v, z))
+    cols = joined.cols
+    fn = joined.fn
+
+    def partial(batches):
+        for pdf in batches:
+            zs, vs, cs = [], [], []
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                h, w = int(row["h"]), int(row["w"])
+                v = decode_block(row[cols[0]], row["dtype"], h, w, int(row["planes"]))
+                z = decode_block(
+                    row[cols[1]], row["_m1_dtype"], h, w, int(row["_m1_planes"])
+                )
+                res_v, res_z = fn(v, z)
+                vv = np.asarray(res_v, dtype=np.float64).ravel()
+                zz = np.asarray(res_z, dtype=np.float64).ravel()
+                ok = np.isfinite(vv)
+                pair = np.stack([zz[ok], vv[ok]], axis=1)
+                uniq, cnt = np.unique(pair, axis=0, return_counts=True)
+                zs.extend(uniq[:, 0].astype(np.int64).tolist())
+                vs.extend(uniq[:, 1].tolist())
+                cs.extend(cnt.astype(np.int64).tolist())
+            yield pd.DataFrame({"zone": zs, "val": vs, "pcnt": cs})
+
+    partials = joined.df.mapInPandas(partial, _CENSUS_SCHEMA)
+    return partials.groupBy("zone", "val").agg(F.sum("pcnt").alias("n"))
+
+
 def zonal_stats_by_cell(values: TileRaster) -> DataFrame:
     """Rollup of a raster onto its spatial cells: zone = cell_id."""
     src = values.strict().df

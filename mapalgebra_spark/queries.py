@@ -516,6 +516,34 @@ _COLORIZE_MAP = [
 ]
 
 
+def q_pipeline_composed(spark, sf_dir):
+    """Full-lifecycle composition under ONE hash (r3 verdict stretch):
+    grid → tile table → focal ``fsum`` (Fill 0) across tile halos →
+    strict materialization barrier → ``colorize`` of the summed
+    surface (lookupLE 5-stop ramp, below-min → INVISIBLE) → zonal
+    COLOUR CENSUS: rows (zone, rgba, n) counting each zone's cells per
+    colour — the README's analyse→colour workflow finished with a
+    per-district rollup.  Exactness: ival ∈ {0..3} keeps every 3x3 sum
+    an exact small integer in float64 (any summation order), so the
+    colour thresholds and census counts are bit-deterministic on both
+    engines."""
+    import numpy as np
+
+    tr, g, G = _val_tiles(spark, sf_dir, col="ival", dtype="float64", rid="cp")
+    zones = grid_to_tiles(g, G, "zone", "int64", "cp")
+    sm = FO.focal(tr, "fsum").strict()
+    col = CO.colorize(sm, {k: c for k, c in _COLORIZE_MAP})
+
+    def enc(c):
+        return (
+            c[0].astype(np.int64) + (c[1].astype(np.int64) << 8)
+            + (c[2].astype(np.int64) << 16) + (c[3].astype(np.int64) << 24)
+        ).astype(np.float64)
+
+    census = Z.zonal_census(col.map(enc), zones)
+    return census.select("zone", F.col("val").alias("rgba"), "n")
+
+
 def q_pyramid(spark, sf_dir):
     """One overview level (operators/pyramid.downsample2: tile-local
     2x2 block mean, then a parent-tile merge — the only shuffle,
@@ -1051,6 +1079,23 @@ def _colorize_sql() -> str:
 ORACLE["colorize_grid"] = f"""
 WITH {GRID_CTE}
 SELECT gy, gx, {_colorize_sql()} AS rgba FROM grid
+"""
+
+# composed pipeline: fsum (Fill 0, exact integral sums) -> colorize
+# (same lookupLE CASE) -> per-zone colour census
+ORACLE["pipeline_composed"] = f"""
+WITH {GRID_CTE}, {_COORDS_FILL},
+sm AS (
+  SELECT c.gy, c.gx, sum(COALESCE(n.ival, 0)) * 1.0 AS val
+  {_JOIN_LEFT}
+  GROUP BY c.gy, c.gx
+),
+smz AS (
+  SELECT s.val AS val, g.zone AS zone
+  FROM sm s JOIN grid g ON g.gy = s.gy AND g.gx = s.gx
+)
+SELECT zone, {_colorize_sql()} AS rgba, count(*) AS n
+FROM smz GROUP BY zone, rgba
 """
 
 # breaks (MA:1309-1315): the sequential fold (goal state with
@@ -2084,4 +2129,7 @@ QUERIES = {
     "salted_join_agg": q_salted_join,
     # creation ops: distributed fromFunction round-trip
     "from_function_grid": q_from_function,
+    # full-lifecycle composition under one hash: tiles -> focal fsum ->
+    # strict -> colorize -> zonal colour census (r3 verdict stretch 7)
+    "pipeline_composed": q_pipeline_composed,
 }

@@ -104,6 +104,25 @@ def test_zonal_stats(spark):
         assert got[zone]["zmax"] == pytest.approx(sel.max())
 
 
+def test_zonal_census(spark):
+    """Categorical cross-tab (zone, val, n) == numpy reference; NaN
+    value cells are excluded (finite-category contract)."""
+    rng = np.random.default_rng(9)
+    vals = rng.integers(0, 4, size=(40, 50)).astype(np.float64)
+    vals[3, 7] = np.nan
+    zones = rng.integers(0, 3, size=(40, 50)).astype(np.int64)
+    v = R.TileRaster.from_arrays(spark, {"r": vals}, tile_size=16)
+    z = R.TileRaster.from_arrays(spark, {"r": zones}, tile_size=16)
+    got = {(r["zone"], r["val"]): r["n"] for r in Z.zonal_census(v, z).collect()}
+    exp = {}
+    for zz in range(3):
+        for vv in range(4):
+            n = int(((zones == zz) & (vals == vv)).sum())
+            if n:
+                exp[(zz, float(vv))] = n
+    assert got == exp
+
+
 def _points_df(spark, n=400, seed=7):
     rng = np.random.default_rng(seed)
     pdf = pd.DataFrame(
