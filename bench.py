@@ -337,7 +337,8 @@ def paired_width32(img_path: str) -> dict:
     engine_eq_tps scales by mean tile area / 256^2 (the numpy pool
     processes full tiles; the engine's table carries clipped edge
     tiles).  Median ratio over SPARK_GRAFT_PAIR32_ROUNDS rounds
-    (default 3) with every pair disclosed.  Cooldowns matter: a
+    (default 4 — an even count balances the two leg orders) with
+    every pair disclosed.  Cooldowns matter: a
     sustained all-core AVX leg measurably depresses the LEG THAT
     FOLLOWS (frequency/thermal state persists across processes) — the
     pairing + gaps + median is the honest protocol on this host, and

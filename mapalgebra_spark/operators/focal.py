@@ -518,7 +518,15 @@ def focal_multi(
                     int(planes_col[r]),
                 )
                 plain = tuple(pcols[c][r] for c in plain_cols)
-                buf.setdefault(ty, {})[tx] = (plain, core)
+                row_buf = buf.setdefault(ty, {})
+                if tx in row_buf:
+                    # silent last-wins would diverge from the join
+                    # path (which fans out duplicates) — refuse loudly
+                    raise ValueError(
+                        "stream halo: dense-grid contract violated — "
+                        f"group {group} has duplicate tile ({ty},{tx})"
+                    )
+                row_buf[tx] = (plain, core)
                 # rows <= ty-2 have their south neighbour row complete
                 while next_emit <= ty - 2:
                     emit_ty_row(next_emit)

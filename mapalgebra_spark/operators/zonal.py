@@ -143,12 +143,23 @@ def zonal_census(values: TileRaster, zones: TileRaster) -> DataFrame:
                 )
                 res_v, res_z = fn(v, z)
                 vv = np.asarray(res_v, dtype=np.float64).ravel()
-                zz = np.asarray(res_z, dtype=np.float64).ravel()
+                zz_raw = np.asarray(res_z).ravel()
                 ok = np.isfinite(vv)
-                pair = np.stack([zz[ok], vv[ok]], axis=1)
-                uniq, cnt = np.unique(pair, axis=0, return_counts=True)
-                zs.extend(uniq[:, 0].astype(np.int64).tolist())
-                vs.extend(uniq[:, 1].tolist())
+                if zz_raw.dtype.kind == "f":
+                    # float zone rasters use NaN as NoData — drop those
+                    # cells; casting NaN to int64 would mint a garbage
+                    # zone id
+                    ok &= np.isfinite(zz_raw)
+                # zones stay int64 end-to-end (a float64 round-trip
+                # would corrupt ids above 2^53); the structured dtype
+                # keeps the (zone, value) pair exact through np.unique
+                pair = np.empty(int(ok.sum()),
+                                dtype=[("z", np.int64), ("v", np.float64)])
+                pair["z"] = zz_raw[ok].astype(np.int64)
+                pair["v"] = vv[ok]
+                uniq, cnt = np.unique(pair, return_counts=True)
+                zs.extend(uniq["z"].tolist())
+                vs.extend(uniq["v"].tolist())
                 cs.extend(cnt.astype(np.int64).tolist())
             yield pd.DataFrame({"zone": zs, "val": vs, "pcnt": cs})
 

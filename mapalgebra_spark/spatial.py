@@ -366,7 +366,13 @@ def knn_cells(
     # an inner join from per_q would silently drop it from both `good`
     # and `bad` (r3 advice).  coalesce(found,0) < k routes such
     # queries to the brute-force fallback like any other straggler.
-    per_q = qs.select("query_id", "qlat").join(per_q, on="query_id", how="left")
+    # per_q (≤ one row per query) is the broadcast side — as the
+    # non-preserved right side of a left join that is legal, and it
+    # keeps the plan join-stats-independent (per_q derives from a
+    # window over mapInPandas output, which Spark cannot size).
+    per_q = qs.select("query_id", "qlat").join(
+        F.broadcast(per_q), on="query_id", how="left"
+    )
     bad = per_q.filter(
         (F.coalesce(F.col("found"), F.lit(0)) < k) | (F.col("kth") > bound_col)
     ).select("query_id")

@@ -138,6 +138,31 @@ def stream_dedup_documents(
     )
 
 
+def _recover_keeper(spark: SparkSession, keeper_dir: str) -> None:
+    """Crash recovery for :func:`compact_keeper_index`'s rename swap.
+
+    A crash between the two renames leaves ``keeper_dir`` ABSENT with
+    the data intact in ``.compact.tmp`` (the finished compacted copy)
+    and/or ``.compact.old`` (the pre-compaction original).  Without
+    recovery that absence reads as "no keeper yet" and silently
+    disables cross-batch dedup — the exact failure this index exists
+    to prevent — so both the per-batch probe and compaction itself
+    call this first: if the keeper is missing, restore the tmp copy
+    (preferred — it is complete and compacted), else the old copy.
+    No-op when the keeper exists."""
+    jpath, fs = _hadoop_path_fs(spark, keeper_dir)
+    if fs.exists(jpath):
+        return
+    for suffix in (".compact.tmp", ".compact.old"):
+        jcand, _ = _hadoop_path_fs(spark, keeper_dir.rstrip("/") + suffix)
+        if fs.exists(jcand):
+            if not fs.rename(jcand, jpath):
+                raise IOError(
+                    f"keeper recovery: rename {suffix} -> {keeper_dir} failed"
+                )
+            return
+
+
 def compact_keeper_index(
     spark: SparkSession, keeper_dir: str, num_files: int = 16
 ) -> None:
@@ -155,17 +180,25 @@ def compact_keeper_index(
     layout gives parquet row-group min/max stats that Spark's runtime
     bloom/min-max filter from the (small) batch side can prune on, and
     the hash-clustered layout keeps any one (band,bkey) bucket in one
-    file.  The rewrite is atomic via a same-FS rename swap (Hadoop FS
-    API, URI-scheme-agnostic): crash before the swap leaves the old
-    keeper intact; crash between the two renames is recovered by the
-    leftover ``.compact.tmp`` being re-created on the next call.
-    Deduplication key is ``(doc_id, band)`` — signatures are a pure
-    function of the text, so replayed rows are bit-identical."""
+    file.  The rewrite swaps via same-FS renames (Hadoop FS API,
+    URI-scheme-agnostic; on object stores without atomic directory
+    rename the window widens — pair with a rename-capable FS or a
+    manifest layer there): crash before the first rename leaves the
+    old keeper intact; crash between the renames leaves the keeper
+    ABSENT with the data in ``.compact.tmp``/``.compact.old``, which
+    :func:`_recover_keeper` (run here and before every batch probe)
+    renames back before anything could mistake the absence for "no
+    keeper yet" or delete the leftovers.  Deduplication key is
+    ``(doc_id, band)`` — signatures are a pure function of the text,
+    so replayed rows are bit-identical."""
+    _recover_keeper(spark, keeper_dir)
     jpath, fs = _hadoop_path_fs(spark, keeper_dir)
     tmp = keeper_dir.rstrip("/") + ".compact.tmp"
     old = keeper_dir.rstrip("/") + ".compact.old"
     jtmp, _ = _hadoop_path_fs(spark, tmp)
     jold, _ = _hadoop_path_fs(spark, old)
+    # safe only AFTER recovery: with the keeper present, leftovers are
+    # stale copies from a completed or rolled-back compaction
     for leftover in (jtmp, jold):
         if fs.exists(leftover):
             fs.delete(leftover, True)
@@ -256,10 +289,13 @@ def stream_near_dedup_documents(
         bands = band_rows(sigs).persist()
         # existence probe via the Hadoop FS API (URI-scheme-agnostic;
         # r3 advice: an os.path probe is always False on HDFS/S3 and
-        # would silently disable cross-batch dedup).  Only absence may
-        # return False — a real read failure raises, FAILING the batch
-        # so the checkpoint retries it rather than minting duplicate
-        # keepers.
+        # would silently disable cross-batch dedup).  Recovery first:
+        # a crash mid-compaction leaves the keeper renamed away, and
+        # absence must NOT read as "no keeper yet".  Only true absence
+        # may return False — a real read failure raises, FAILING the
+        # batch so the checkpoint retries it rather than minting
+        # duplicate keepers.
+        _recover_keeper(spark, keeper_dir)
         keeper_exists = _dir_has_parquet(spark, keeper_dir)
         if keeper_exists:
             keeper = spark.read.parquet(keeper_dir).select(
