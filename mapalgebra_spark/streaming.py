@@ -66,10 +66,17 @@ def stream_tile_pipeline(
     focal_ops: list[str] | None = None,
     tile_size: int = 256,
     trigger_available_now: bool = True,
+    halo: str = "stream",
 ):
     """Incremental image→tile(→focal) pipeline. Returns the started
     StreamingQuery. Output lands under ``out_dir/batch=<id>/`` —
-    overwrite-by-batch-id makes replays after a crash idempotent."""
+    overwrite-by-batch-id makes replays after a crash idempotent.
+
+    Focal ops use the stream-halo engine by default: an ingest
+    micro-batch holds MANY images (per-raster parallelism >> cores at
+    the 10^12-image posture) and every image's tiles arrive dense in
+    one batch — exactly the stream contract.  Pass ``halo="join"``
+    for batches dominated by one huge raster."""
     from .ingest import tiles_from_images
     from .operators.focal import focal_multi
 
@@ -79,7 +86,8 @@ def stream_tile_pipeline(
         tiles = tiles_from_images(batch_df, tile_size=tile_size)
         out = tiles.df
         if focal_ops:
-            outs = focal_multi(tiles, focal_ops, persist_combined=False)
+            outs = focal_multi(tiles, focal_ops, persist_combined=False,
+                               halo=halo)
             out = outs[focal_ops[0]]._combined
         out.write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={batch_id}"))
 
