@@ -151,18 +151,42 @@ def main():
         # hop + decode + cast + pad + kernels)
         src.mapInArrow(nohalo_run, out_schema).agg(F.sum("s")).collect()
 
+    # the stream-halo path, timed DIRECTLY (not inferred from the
+    # nohalo proxy): its own sorted persisted layout, presorted=True
+    src_sorted = (
+        spark.read.parquet(img_path)
+        .repartition(cores * part_mult, "raster_id", "band")
+        .sortWithinPartitions(*KEY_COLS)
+        .persist()
+    )
+    assert src_sorted.count() == n_tiles
+
+    def stream_checksum():
+        cs = FO.focal_multi(
+            TileRaster(src_sorted), specs, repartition=False,
+            persist_combined=False, out_dtype="float32", sink="checksum",
+            halo="stream", presorted=True,
+        )
+        got = cs.agg(F.count("*").alias("n")).collect()[0]
+        assert got["n"] == n_tiles
+
     t_scan = timeit("scan", scan)
     t_hop = timeit("arrowhop(count only)", arrowhop)
     t_nohalo = timeit("nohalo(kernels, no halo)", nohalo)
     t_join = timeit("strips+agg+join", strips_join)
     t_py = timeit("pyid(decode only)", pyid)
-    t_cs = timeit("checksum(kernels)", checksum)
+    t_cs = timeit("checksum(kernels, join halo)", checksum)
+    t_stream = timeit("checksum(kernels, stream halo)", stream_checksum)
     print(json.dumps({
         "tiles": n_tiles, "cores": cores,
-        "scan": t_scan, "join_delta": round(t_join - t_scan, 3),
+        "scan": t_scan, "arrow_hop": round(t_hop - t_scan, 3),
+        "nohalo_floor": t_nohalo,
+        "join_delta": round(t_join - t_scan, 3),
         "py_hop_delta": round(t_py - t_join, 3),
         "kernel_delta": round(t_cs - t_py, 3),
-        "total": t_cs, "tps": round(n_tiles / t_cs, 1),
+        "join_total": t_cs, "join_tps": round(n_tiles / t_cs, 1),
+        "stream_total": t_stream, "stream_tps": round(n_tiles / t_stream, 1),
+        "stream_over_floor": round(t_stream - t_nohalo, 3),
     }), flush=True)
     os._exit(0)
 

@@ -671,9 +671,9 @@ def main():
             try:
                 if i % 2 == 0:
                     xlo = run_flagship_subprocess(2, img_path, runs=2, pin=2, execs=1)
-                    xhi = run_flagship_subprocess(8, img_path, runs=3, pin=8, execs=4)
+                    xhi = run_flagship_subprocess(8, img_path, runs=2, pin=8, execs=4)
                 else:
-                    xhi = run_flagship_subprocess(8, img_path, runs=3, pin=8, execs=4)
+                    xhi = run_flagship_subprocess(8, img_path, runs=2, pin=8, execs=4)
                     xlo = run_flagship_subprocess(2, img_path, runs=2, pin=2, execs=1)
             except RuntimeError as ex:
                 print(f"executor round {i} dropped: {ex}", file=sys.stderr)

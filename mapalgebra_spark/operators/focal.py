@@ -201,19 +201,11 @@ def _apply_specs_to_tile(specs, core, strips_raw, at, checksum):
 
 
 def _pa_type(dt):
-    import pyarrow as pa
+    """Arrow type for a Spark type — PySpark's own mapping, so any
+    schema the join path handles the stream path handles too."""
+    from pyspark.sql.pandas.types import to_arrow_type
 
-    if isinstance(dt, T.StringType):
-        return pa.string()
-    if isinstance(dt, T.IntegerType):
-        return pa.int32()
-    if isinstance(dt, T.LongType):
-        return pa.int64()
-    if isinstance(dt, T.DoubleType):
-        return pa.float64()
-    if isinstance(dt, T.BinaryType):
-        return pa.binary()
-    raise TypeError(f"unmapped Spark type {dt}")
+    return to_arrow_type(dt)
 
 
 def focal_multi(
@@ -291,6 +283,13 @@ def focal_multi(
                 *([num_partitions] if num_partitions else []),
                 F.col("raster_id"), F.col("band"),
             ).sortWithinPartitions(*KEY_COLS)
+        # the stream runner slices halos from neighbour cores — the 8
+        # precomputed aux strip blobs are dead weight here, and every
+        # byte selected crosses the Arrow hop (the measured dominant
+        # residual); a projection preserves partitioning + sort order
+        from ..tiles import AUX_COLS as _AUX
+
+        src = src.drop(*[c for c in _AUX if c in src.columns])
         joined = None
     else:
         if repartition:

@@ -487,15 +487,12 @@ def q_cell_points(spark, sf_dir):
     )
 
 
-def q_colorize(spark, sf_dir):
-    """README colour pipeline back half (MA:679-682 classify +
-    ramp): colorize through a 5-stop RGBA map (lookupLE semantics,
-    below-min → INVISIBLE), 4-plane uint8 output packed
-    r|g<<8|b<<16|a<<24 into one exact double for hashing."""
+def _rgba_packed(tr):
+    """Pack a colorized (4, h, w) uint8 raster into one exact float64
+    ``r | g<<8 | b<<16 | a<<24`` per pixel — the ONE packer every
+    colour-hashing query shares, so it cannot drift from the packed
+    constants `_colorize_sql` emits."""
     import numpy as np
-
-    tr, _, _ = _val_tiles(spark, sf_dir)
-    out = CO.colorize(tr, {k: c for k, c in _COLORIZE_MAP})
 
     def enc(c):
         return (
@@ -503,7 +500,17 @@ def q_colorize(spark, sf_dir):
             + (c[2].astype(np.int64) << 16) + (c[3].astype(np.int64) << 24)
         ).astype(np.float64)
 
-    return tiles_to_rows(out.map(enc), "rgba")
+    return tr.map(enc)
+
+
+def q_colorize(spark, sf_dir):
+    """README colour pipeline back half (MA:679-682 classify +
+    ramp): colorize through a 5-stop RGBA map (lookupLE semantics,
+    below-min → INVISIBLE), 4-plane uint8 output packed
+    r|g<<8|b<<16|a<<24 into one exact double for hashing."""
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    out = CO.colorize(tr, {k: c for k, c in _COLORIZE_MAP})
+    return tiles_to_rows(_rgba_packed(out), "rgba")
 
 
 #: 5 stops from the spectrum ramp (verbatim MA:604-610 RGB + opaque α)
@@ -527,20 +534,11 @@ def q_pipeline_composed(spark, sf_dir):
     an exact small integer in float64 (any summation order), so the
     colour thresholds and census counts are bit-deterministic on both
     engines."""
-    import numpy as np
-
     tr, g, G = _val_tiles(spark, sf_dir, col="ival", dtype="float64", rid="cp")
     zones = grid_to_tiles(g, G, "zone", "int64", "cp")
     sm = FO.focal(tr, "fsum").strict()
     col = CO.colorize(sm, {k: c for k, c in _COLORIZE_MAP})
-
-    def enc(c):
-        return (
-            c[0].astype(np.int64) + (c[1].astype(np.int64) << 8)
-            + (c[2].astype(np.int64) << 16) + (c[3].astype(np.int64) << 24)
-        ).astype(np.float64)
-
-    census = Z.zonal_census(col.map(enc), zones)
+    census = Z.zonal_census(_rgba_packed(col), zones)
     return census.select("zone", F.col("val").alias("rgba"), "n")
 
 

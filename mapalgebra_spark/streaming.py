@@ -83,7 +83,18 @@ def stream_tile_pipeline(
     stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(input_dir)
 
     def handle_batch(batch_df: DataFrame, batch_id: int):
-        tiles = tiles_from_images(batch_df, tile_size=tile_size)
+        from .raster import TileRaster
+        from .tiles import KEY_COLS
+
+        # idempotent ingest: the same image delivered twice in one
+        # micro-batch (e.g. two input files) must not poison the
+        # stream — decode is deterministic per image_id, so keeping
+        # one copy per tile key is the correct semantics, and the
+        # stream halo's dense-grid duplicate check then never fires
+        tiles = TileRaster(
+            tiles_from_images(batch_df, tile_size=tile_size)
+            .df.dropDuplicates(KEY_COLS)
+        )
         out = tiles.df
         if focal_ops:
             outs = focal_multi(tiles, focal_ops, persist_combined=False,
