@@ -42,7 +42,21 @@ def build_prepare_job(
     min_tokens: int = 3,
     max_tokens: int = 100_000,
     max_nonalpha: float = 0.6,
+    cluster: str = "anti_join",
 ) -> Job:
+    """``cluster`` selects the near-dedup keeper rule:
+
+    * ``"anti_join"`` (default) — drop every doc that is the larger
+      side of any pair (one anti-join; keeps every LOCAL minimum of
+      the pair graph, so pairs (1,3),(2,3) keep {1,2}).
+    * ``"transitive"`` — connected components of the pair graph
+      (graph.connected_components, large-star/small-star); keeps
+      exactly ONE doc per similarity cluster (pairs (1,3),(2,3) keep
+      {1}).  Costs O(log n) extra rounds over the PAIR table only —
+      the doc table is touched once either way.
+    """
+    if cluster not in ("anti_join", "transitive"):
+        raise ValueError(f"cluster must be 'anti_join' or 'transitive', got {cluster!r}")
     from . import textops as TX
 
     job = Job(spark, out, job_id)
@@ -63,12 +77,24 @@ def build_prepare_job(
 
         d = ins["exact_dedup"]
         pairs = TX.minhash_lsh_pairs(d, threshold=near_threshold)
-        dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+        if cluster == "transitive":
+            from .graph import connected_components
+
+            comp = connected_components(pairs, "doc_a", "doc_b")
+            # non-representatives of each component; pairless docs are
+            # absent from comp and therefore kept
+            dupes = comp.where(F.col("id") != F.col("component")).select(
+                F.col("id").alias("doc_id")
+            )
+            extra = getattr(comp, "_persisted_bases", ())
+        else:
+            dupes = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+            extra = ()
         # carry the LSH base caches to the stage output: Job.run drops
         # them right after this stage's snapshot commits
         return attach_bases(
             d.join(dupes, on="doc_id", how="left_anti"),
-            getattr(pairs, "_persisted_bases", ()),
+            list(getattr(pairs, "_persisted_bases", ())) + list(extra),
         )
 
     @job.stage("filtered", inputs=["near_dedup"])

@@ -2017,6 +2017,123 @@ FROM media
 
 
 # ---------------------------------------------------------------------------
+# graph layer: transitive near-dup clustering (connected components) +
+# Gopher-style repetition signals (r4 additions)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition(spark, sf_dir):
+    # token-level Gopher repetition family; exact ratio-of-counts twins
+    from .textops import repetition_scores
+
+    return repetition_scores(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+ORACLE["repetition"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+tok AS (SELECT doc_id, i AS pos, t[i] AS tok
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)+1)) AS i) g),
+tokc AS (SELECT doc_id, count(*) AS n, count(DISTINCT tok) AS nd
+  FROM tok GROUP BY doc_id),
+runs AS (SELECT doc_id, max(rl) AS max_token_run FROM (
+  SELECT doc_id, count(*) AS rl FROM (
+    SELECT doc_id, tok,
+           pos - row_number() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+    FROM tok) GROUP BY doc_id, tok, grp) GROUP BY doc_id),
+g2 AS (SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) x WHERE len(t) >= 2),
+g2c AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+g2s AS (SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_2gram_frac
+  FROM g2c GROUP BY doc_id),
+g5 AS (SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM tk, LATERAL (SELECT unnest(range(1, len(t)-3)) AS i) x WHERE len(t) >= 5),
+g5c AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g),
+g5s AS (SELECT doc_id,
+  round(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6)
+    AS dup_5gram_frac
+  FROM g5c GROUP BY doc_id)
+SELECT tokc.doc_id, n AS n_tokens,
+       round(1.0 - nd / CAST(n AS DOUBLE), 6) AS dup_token_frac,
+       coalesce(top_2gram_frac, 0.0) AS top_2gram_frac,
+       coalesce(dup_5gram_frac, 0.0) AS dup_5gram_frac,
+       max_token_run
+FROM tokc JOIN runs USING (doc_id)
+LEFT JOIN g2s USING (doc_id) LEFT JOIN g5s USING (doc_id)
+"""
+
+
+def q_dedup_clusters(spark, sf_dir):
+    # TRANSITIVE closure of the LSH pair graph (large-star/small-star
+    # connected components) — the "keep one per similarity cluster"
+    # semantics the one-shot anti-join approximates; oracle recomputes
+    # the identical LSH pairs and closes them with a recursive CTE
+    from .textops import near_dup_clusters
+
+    return near_dup_clusters(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), threshold=0.2
+    )
+
+
+ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE {_MINHASH_CTE},
+prs AS (SELECT doc_a AS u, doc_b AS v FROM est WHERE est >= 0.2),
+sym AS (SELECT u, v FROM prs UNION SELECT v, u FROM prs),
+nodes AS (SELECT doc_id AS id FROM documents),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT s.v AS id, re.r FROM reach re JOIN sym s ON s.u = re.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id,
+       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS INT) AS keep
+FROM reach GROUP BY id
+"""
+
+
+def q_cc_chain(spark, sf_dir):
+    # connected_components itself under the oracle on a graph that NEEDS
+    # multi-round contraction: deterministic 40-node id chains (block
+    # breaks at multiples of 40) merged pairwise by +40 skip edges at
+    # doc_id % 97 == 5 — diameter ~80, so a one-hop propagation cannot
+    # fake it.  Oracle: recursive-CTE closure of the same edge formula.
+    from .graph import connected_components
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = d.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+    ).where((F.col("doc_id") + 1) % 40 != 0)
+    b = d.select(
+        F.col("doc_id").alias("src"), (F.col("doc_id") + 40).alias("dst")
+    ).where(F.col("doc_id") % 97 == 5)
+    edges = a.union(b).join(
+        d.withColumnRenamed("doc_id", "dst"), "dst", "semi"
+    )
+    comp = connected_components(edges, "src", "dst")
+    return d.join(
+        comp.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("component"))
+
+
+ORACLE["cc_chain"] = """
+WITH RECURSIVE nodes AS (SELECT doc_id AS id FROM documents),
+e0 AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents
+  WHERE (doc_id + 1) % 40 <> 0 AND doc_id + 1 IN (SELECT id FROM nodes)
+  UNION ALL
+  SELECT doc_id AS u, doc_id + 40 AS v FROM documents
+  WHERE doc_id % 97 = 5 AND doc_id + 40 IN (SELECT id FROM nodes)
+),
+sym AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+reach AS (
+  SELECT id, id AS r FROM nodes
+  UNION
+  SELECT s.v AS id, re.r FROM reach re JOIN sym s ON s.u = re.id
+)
+SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2130,4 +2247,9 @@ QUERIES = {
     # full-lifecycle composition under one hash: tiles -> focal fsum ->
     # strict -> colorize -> zonal colour census (r3 verdict stretch 7)
     "pipeline_composed": q_pipeline_composed,
+    # r4: graph layer (large-star/small-star connected components) and
+    # Gopher-style repetition signals
+    "repetition": q_repetition,
+    "dedup_clusters": q_dedup_clusters,
+    "cc_chain": q_cc_chain,
 }

@@ -519,3 +519,129 @@ def fingerprint_local(text: str) -> int:
     for i, tok in enumerate(text.split(" ")):
         out ^= h60_local(f"{i + 1}:{tok}")
     return out
+
+
+# --- repetition / boilerplate signals (Gopher-style) -------------------------
+
+
+def _gram_col(k: int) -> F.Column:
+    """array<string> of word k-grams of ``text`` (empty when < k tokens
+    — unlike SHINGLES_SQL, a short doc contributes NO grams here: a
+    repetition ratio over a 1-element pseudo-gram set would read 0/1
+    noise, not signal)."""
+    return F.expr(
+        f"CASE WHEN size({_TOKS}) >= {k} THEN "
+        f"transform(sequence(0, size({_TOKS})-{k}), "
+        f"i -> concat_ws(' ', slice({_TOKS}, i+1, {k}))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def repetition_scores(docs: DataFrame) -> DataFrame:
+    """Token-level repetition signals per document — the Gopher-rule
+    family (Rae et al. 2021, "Scaling Language Models: ... Gopher"
+    §A1.1 repetition filters), restated over whitespace tokens so every
+    number has an exact relational twin:
+
+    - ``dup_token_frac``   1 - distinct/total tokens
+    - ``top_2gram_frac``   occurrences of the most frequent 2-gram /
+                           total 2-grams (0.0 when < 2 tokens)
+    - ``dup_5gram_frac``   fraction of 5-gram slots whose gram occurs
+                           more than once — counting ALL occurrences,
+                           first included, per the Gopher definition
+                           (0.0 when < 5 tokens)
+    - ``max_token_run``    longest run of one token repeated
+                           consecutively (gaps-and-islands: pos -
+                           row_number over (doc, token) is constant
+                           exactly on consecutive stretches)
+
+    Pure JVM: three explode→partial-agg pipelines plus one window
+    partitioned by (doc_id, token) — every shuffle is keyed by doc (or
+    doc+token), so 10^11 documents spread over the cluster with no
+    driver state and no skewed global key."""
+    from pyspark.sql import Window
+
+    base = docs.repartition(F.col("doc_id")).select("doc_id", "text")
+    tok = base.select(
+        "doc_id", F.posexplode(F.split("text", " ", -1)).alias("pos", "tok")
+    )
+    tokc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("nd"),
+    )
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    runs = (
+        tok.select(
+            "doc_id", "tok", (F.col("pos") - F.row_number().over(w)).alias("grp")
+        )
+        .groupBy("doc_id", "tok", "grp")
+        .agg(F.count("*").alias("run"))
+        .groupBy("doc_id")
+        .agg(F.max("run").alias("max_token_run"))
+    )
+
+    def gram_stats(k: int) -> DataFrame:
+        gc = (
+            base.select("doc_id", F.explode(_gram_col(k)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+        )
+        return gc.groupBy("doc_id").agg(
+            F.sum("c").alias("tot"),
+            F.max("c").alias("top"),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+        )
+
+    g2 = gram_stats(2).select(
+        "doc_id", F.round(F.col("top") / F.col("tot"), 6).alias("top_2gram_frac")
+    )
+    g5 = gram_stats(5).select(
+        "doc_id", F.round(F.col("dup") / F.col("tot"), 6).alias("dup_5gram_frac")
+    )
+    return (
+        tokc.join(runs, "doc_id")
+        .join(g2, "doc_id", "left")
+        .join(g5, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.lit(1.0) - F.col("nd") / F.col("n_tokens"), 6).alias(
+                "dup_token_frac"
+            ),
+            F.coalesce("top_2gram_frac", F.lit(0.0)).alias("top_2gram_frac"),
+            F.coalesce("dup_5gram_frac", F.lit(0.0)).alias("dup_5gram_frac"),
+            "max_token_run",
+        )
+    )
+
+
+def near_dup_clusters(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
+    """(doc_id, cluster_id, keep) — TRANSITIVE near-dup clustering.
+
+    MinHash-LSH pairs (:func:`minhash_lsh_pairs`) give direct edges
+    only; one representative per similarity CLUSTER needs their
+    connected components (pairs (1,3),(2,3): the anti-join the batch
+    pipelines default to keeps {1,2}; the closure keeps {1}).
+    ``cluster_id`` is the component's smallest doc_id; ``keep`` is 1
+    exactly for that representative (and for every pairless doc).
+    """
+    from .graph import connected_components
+
+    pairs = minhash_lsh_pairs(docs, threshold=threshold)
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    out = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("cluster_id"),
+            (F.col("doc_id") == F.coalesce("component", "doc_id"))
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+    return attach_bases(
+        out,
+        list(getattr(pairs, "_persisted_bases", ()))
+        + list(getattr(comp, "_persisted_bases", ())),
+    )

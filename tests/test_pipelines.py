@@ -151,3 +151,55 @@ def test_prepare_audio_job(spark, tmp_path):
     build_prepare_audio_job(spark, path, out, job_id="audprep").run()
     after = {st: sorted(os.listdir(os.path.join(snaps, st))) for st in os.listdir(snaps)}
     assert after == before
+
+
+def test_prepare_pipeline_transitive_clustering(spark, tmp_path):
+    # star cluster the anti-join rule over-keeps: pairs (1,3),(2,3)
+    # without (1,2).  The texts were FOUND by deterministic search over
+    # the fixed md5 minhash (doc3 = doc1 ++ doc2, so J(1,3) ~ J(2,3) ~
+    # 0.48, J(1,2) = 0; salt s2526 makes both (x,3) band collisions
+    # land while (1,2) shares no shingle) — no randomness at runtime.
+    A = [f"a{i}s2526" for i in range(26)]
+    B = [f"b{i}s2526" for i in range(26)]
+    rows = [(1, " ".join(A)), (2, " ".join(B)), (3, " ".join(A + B))]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+
+    from mapalgebra_spark.textops import minhash_lsh_pairs
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(spark.read.parquet(path), threshold=0.42).collect()
+    }
+    # precondition for the semantics delta: a star 1-3, 2-3 without 1-2
+    assert pairs == {(1, 3), (2, 3)}, pairs
+
+    out_a = str(tmp_path / "job_anti")
+    kept_a = {
+        r["doc_id"]
+        for r in build_prepare_job(
+            spark, path, out_a, job_id="pa", near_threshold=0.42,
+            min_tokens=1, max_nonalpha=1.0,
+        ).run()["near_dedup"].select("doc_id").collect()
+    }
+    out_t = str(tmp_path / "job_trans")
+    kept_t = {
+        r["doc_id"]
+        for r in build_prepare_job(
+            spark, path, out_t, job_id="pt", near_threshold=0.42,
+            min_tokens=1, max_nonalpha=1.0, cluster="transitive",
+        ).run()["near_dedup"].select("doc_id").collect()
+    }
+    # anti-join keeps every doc that is never a doc_b: {1, 2}; the
+    # closure keeps one representative of the {1,2,3} component: {1}
+    assert kept_a == {1, 2}
+    assert kept_t == {1}
+
+
+def test_prepare_pipeline_bad_cluster_arg(spark, tmp_path):
+    with pytest.raises(ValueError, match="cluster"):
+        build_prepare_job(spark, "x", str(tmp_path / "j"), cluster="nope")
