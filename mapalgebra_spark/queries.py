@@ -2134,6 +2134,91 @@ SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
 
 
 # ---------------------------------------------------------------------------
+# convex-polygon zonal: the ray-cast rasterizer against a HALF-PLANE
+# oracle (r4) — extends the rect-only zonal_polygons coverage to
+# diagonal edges
+# ---------------------------------------------------------------------------
+
+#: (lng_frac, lat_frac) vertices, CCW, scaled by G with the +0.25 edge
+#: offset.  The 4-decimal fractions were SEARCHED so that at every
+#: shipped G (77/244/774) no pixel center sits within 3e-4 grid units
+#: of any edge line (round fractions like 0.85/0.25 put centers
+#: EXACTLY on edges at G=244; pinned by tests/test_rasterize.py::
+#: test_convex_polygon_margins at 1e-5, ~100x float64 cross-product
+#: error) — the ray-cast and the half-plane signs can never disagree
+#: on a center.
+_CONVEX_TRI = (
+    (0.0825, 0.1541), (0.8359, 0.2321), (0.4132, 0.8959)
+)  # zone 0
+_CONVEX_QUAD = (
+    (0.4646, 0.1098), (0.888, 0.4834), (0.5869, 0.8498), (0.2943, 0.5633)
+)  # zone 1
+
+
+def _convex_inside_sql(verts) -> str:
+    """AND of per-edge cross-product signs (CCW convex polygon): point
+    (px, py) is inside iff it is strictly left of every directed edge."""
+    conds = []
+    n = len(verts)
+    for i in range(n):
+        ax, ay = verts[i]
+        bx, by = verts[(i + 1) % n]
+        conds.append(
+            f"(({bx}*gg - {ax}*gg) * (py - ({ay}*gg + 0.25)) - "
+            f"({by}*gg - {ay}*gg) * (px - ({ax}*gg + 0.25))) > 0"
+        )
+    return " AND ".join(conds)
+
+
+def q_zonal_polygons_convex(spark, sf_dir):
+    """Raster↔vector zonal with NON-rectangular zones: a triangle and
+    an overlapping convex quadrilateral (painter's order — the quad,
+    polygon index 1, wins overlaps) burned by the vectorized ray-cast,
+    then zonal_stats.  The oracle classifies each pixel center with
+    half-plane cross-product signs — an INDEPENDENT inside test (the
+    engine ray-casts), so agreement checks the rasterizer's geometry,
+    not its arithmetic."""
+    import pandas as pd
+
+    g, G = grid_df(spark, sf_dir)
+    v = grid_to_tiles(g, G, "val", "float64", "a")
+
+    def ring(verts):
+        return (
+            [fy * G + 0.25 for fx, fy in verts],
+            [fx * G + 0.25 for fx, fy in verts],
+        )
+
+    t_lat, t_lng = ring(_CONVEX_TRI)
+    qd_lat, qd_lng = ring(_CONVEX_QUAD)
+    polys = spark.createDataFrame(
+        pd.DataFrame({"ring_lat": [t_lat, qd_lat], "ring_lng": [t_lng, qd_lng]})
+    )
+    z = SP.rasterize_polygons(
+        spark, polys, "a", G, G, (0.0, float(G), 0.0, float(G)),
+        nodata=-1, tile_size=gridq.GRID_TILE,
+    )
+    return Z.zonal_stats(v, z).select(
+        "zone", "zsum", "zcount", "zmean", "zmin", "zmax"
+    )
+
+
+ORACLE["zonal_polygons_convex"] = f"""
+WITH {GRID_CTE},
+pts AS (SELECT val, gx + 0.5 AS px, d.g - gy - 0.5 AS py, d.g AS gg
+        FROM grid CROSS JOIN dims d),
+zz AS (SELECT val,
+  CASE WHEN {_convex_inside_sql(_CONVEX_QUAD)} THEN 1
+       WHEN {_convex_inside_sql(_CONVEX_TRI)} THEN 0
+       ELSE -1 END AS zone
+  FROM pts)
+SELECT zone, sum(val) AS zsum, count(*) AS zcount, sum(val)/count(*) AS zmean,
+       min(val) AS zmin, max(val) AS zmax
+FROM zz GROUP BY zone
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2252,4 +2337,7 @@ QUERIES = {
     "repetition": q_repetition,
     "dedup_clusters": q_dedup_clusters,
     "cc_chain": q_cc_chain,
+    # r4: ray-cast rasterizer vs an independent half-plane oracle on
+    # non-rectangular (diagonal-edge) zones
+    "zonal_polygons_convex": q_zonal_polygons_convex,
 }

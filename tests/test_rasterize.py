@@ -58,3 +58,51 @@ def test_zonal_by_rasterized_polygons(spark):
         assert out[zid]["zsum"] == pytest.approx(sel.sum())
         assert out[zid]["zmin"] == pytest.approx(sel.min())
         assert out[zid]["zmax"] == pytest.approx(sel.max())
+
+
+def test_convex_polygon_margins():
+    """No pixel center may sit near an edge LINE of the convex-zonal
+    query polygons at any shipped grid size — the guarantee that the
+    engine's ray-cast and the oracle's half-plane signs agree on every
+    center (queries._CONVEX_TRI/_CONVEX_QUAD docstring)."""
+    import duckdb
+
+    from mapalgebra_spark.queries import _CONVEX_QUAD, _CONVEX_TRI
+
+    for sf in ("0.001", "0.01", "0.1"):
+        n = duckdb.query(
+            f"SELECT count(*) FROM '/root/testdata/sf{sf}/lineitem.parquet'"
+        ).fetchone()[0]
+        G = int(np.floor(np.sqrt(n)))
+        ii = np.arange(G) + 0.5
+        px, py = np.meshgrid(ii, ii)        # pixel centers in both axes
+        min_d = np.inf
+        for verts in (_CONVEX_TRI, _CONVEX_QUAD):
+            m = len(verts)
+            for i in range(m):
+                ax, ay = verts[i][0] * G + 0.25, verts[i][1] * G + 0.25
+                bx, by = (
+                    verts[(i + 1) % m][0] * G + 0.25,
+                    verts[(i + 1) % m][1] * G + 0.25,
+                )
+                cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+                d = np.abs(cross) / np.hypot(bx - ax, by - ay)
+                min_d = min(min_d, d.min())
+        # expected min center-to-line distance scales ~1/G (~1.3e-3 at
+        # G=774); the searched vertices give >= 3e-4 everywhere.  The
+        # 1e-5 gate is ~100x float64 cross-product error at G^2 scale —
+        # ample for sign agreement, loose enough not to over-pin.
+        assert min_d > 1e-5, (sf, G, min_d)
+
+
+def test_convexity_and_ccw_of_query_polygons():
+    from mapalgebra_spark.queries import _CONVEX_QUAD, _CONVEX_TRI
+
+    for verts in (_CONVEX_TRI, _CONVEX_QUAD):
+        m = len(verts)
+        for i in range(m):
+            ax, ay = verts[i]
+            bx, by = verts[(i + 1) % m]
+            cx, cy = verts[(i + 2) % m]
+            cross = (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+            assert cross > 0, (verts, i)  # strictly convex, CCW
