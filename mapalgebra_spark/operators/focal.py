@@ -728,3 +728,43 @@ def fmonoid(tr, combine: Callable, fill_value) -> TileRaster:
         return acc
 
     return focal(tr, FocalSpec("fmonoid", kernel, K.BORDER_FILL, fill_value))
+
+
+def fconvolve(
+    tr: TileRaster,
+    weights,
+    mode: str = K.BORDER_FILL,
+    fill: float = 0.0,
+    cast: str | None = "float64",
+) -> TileRaster:
+    """Weighted 3x3 convolution (correlation form: out[y,x] =
+    sum_{dy,dx} weights[dy+1, dx+1] * in[y+dy, x+dx]) — the general
+    LINEAR focal filter behind Gaussian smoothing, sharpening, Sobel
+    edge maps and emboss.  The reference's focal family is
+    fixed-function (MapAlgebra.hs:775-852); this is the linear
+    companion to the :func:`fmonoid` fold extension point, running on
+    the same halo engines with any border mode.
+
+    IEEE determinism contract: terms accumulate in row-major window
+    order (nw, no, ne, we, fo, ea, sw, so, se), zero weights skipped —
+    a relational twin summing the same terms in the same order
+    reproduces the doubles bit-for-bit (see ORACLE["fconvolve_grid"]).
+    """
+    w = np.asarray(weights, dtype=np.float64)
+    if w.shape != (3, 3):
+        raise ValueError(f"fconvolve weights must be 3x3, got {w.shape}")
+    wflat = [float(x) for x in w.ravel()]
+
+    def kernel(p):
+        ss = K.shifts(p)
+        acc = None
+        for i in range(9):
+            if wflat[i] == 0.0:
+                continue
+            term = wflat[i] * ss[i]
+            acc = term if acc is None else acc + term
+        if acc is None:
+            acc = np.zeros_like(ss[4], dtype=np.float64)
+        return acc
+
+    return focal(tr, FocalSpec("fconvolve", kernel, mode, fill, cast=cast))

@@ -2219,6 +2219,49 @@ FROM zz GROUP BY zone
 
 
 # ---------------------------------------------------------------------------
+# fconvolve: the general weighted 3x3 linear focal filter (r4) — the
+# linear companion to the fmonoid extension point
+# ---------------------------------------------------------------------------
+
+#: 3x3 Gaussian smoothing weights — every entry an exact binary
+#: fraction (k/16), so weighting is EXACT float64 scaling and the
+#: oracle's identically-ordered sum reproduces the kernel bit-for-bit
+_GAUSS3 = (
+    (0.0625, 0.125, 0.0625),
+    (0.125, 0.25, 0.125),
+    (0.0625, 0.125, 0.0625),
+)
+
+
+def q_fconvolve(spark, sf_dir):
+    """Gaussian 3x3 smoothing via focal.fconvolve (Fill-0 border).
+    IEEE contract: the kernel accumulates terms in row-major window
+    order; the oracle sums the same exact-binary-weighted terms in the
+    same left-associated order — bit-identical doubles, 6dp rounding
+    only for driver-hash hygiene."""
+    tr, _, _ = _val_tiles(spark, sf_dir, "val", "float64")
+    return _r6(tiles_to_rows(FO.fconvolve(tr, _GAUSS3), "gauss"), "gauss")
+
+
+def _convolve_terms_sql(weights) -> str:
+    names = ("nw", "no", "ne", "we", "fo", "ea", "sw", "so", "se")
+    w = [float(x) for row in weights for x in row]
+    return " + ".join(
+        f"{wi!r}*COALESCE(CAST({n} AS DOUBLE), 0)"
+        for wi, n in zip(w, names)
+        if wi != 0.0
+    )
+
+
+ORACLE["fconvolve_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_FILL},
+nb AS ({_pivot9(_JOIN_LEFT, "val")})
+SELECT gy, gx, round({_convolve_terms_sql(_GAUSS3)}, 6) AS gauss
+FROM nb
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2340,4 +2383,6 @@ QUERIES = {
     # r4: ray-cast rasterizer vs an independent half-plane oracle on
     # non-rectangular (diagonal-edge) zones
     "zonal_polygons_convex": q_zonal_polygons_convex,
+    # r4: general weighted 3x3 linear focal filter (Gaussian smoothing)
+    "fconvolve_grid": q_fconvolve,
 }

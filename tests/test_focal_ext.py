@@ -111,3 +111,53 @@ def test_shared_exchange_multi_op(spark):
     np.testing.assert_allclose(
         outs["fmin"].collect_array("r0"), ref_radial(TERRAIN, "fmin", 2)
     )
+
+
+# --- fconvolve: general weighted 3x3 linear filter (r4) ----------------------
+
+
+def ref_convolve(arr, w, mode, fill=0.0):
+    a = np.asarray(arr, dtype=np.float64)
+    kw = {"constant_values": fill} if mode == K.BORDER_FILL else {}
+    p = np.pad(a, 1, mode=mode, **kw)
+    ss = K.shifts(p)
+    acc = None
+    for i in range(9):
+        wi = float(np.asarray(w).ravel()[i])
+        if wi == 0.0:
+            continue
+        term = wi * ss[i]
+        acc = term if acc is None else acc + term
+    return acc if acc is not None else np.zeros_like(a)
+
+
+GAUSS = [[0.0625, 0.125, 0.0625], [0.125, 0.25, 0.125], [0.0625, 0.125, 0.0625]]
+SOBEL_X = [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]
+SHARPEN = [[0.0, -1.0, 0.0], [-1.0, 5.0, -1.0], [0.0, -1.0, 0.0]]
+
+
+@pytest.mark.parametrize("w,mode", [
+    (GAUSS, K.BORDER_FILL),
+    (SOBEL_X, K.BORDER_REFLECT),
+    (SHARPEN, K.BORDER_EDGE),
+])
+def test_fconvolve_multi_tile_vs_full_raster(spark, w, mode):
+    tr = make_tr(spark, TERRAIN, tile_size=8)
+    out = FO.fconvolve(tr, w, mode=mode).collect_array("r0")
+    # bit-identical: same term order, same float64 ops on both paths
+    np.testing.assert_array_equal(out, ref_convolve(TERRAIN, w, mode))
+
+
+def test_fconvolve_identity_kernel(spark):
+    ident = [[0, 0, 0], [0, 1, 0], [0, 0, 0]]
+    tr = make_tr(spark, TERRAIN, tile_size=8)
+    out = FO.fconvolve(tr, ident).collect_array("r0")
+    np.testing.assert_array_equal(out, TERRAIN.astype(np.float64))
+
+
+def test_fconvolve_zero_kernel_and_bad_shape(spark):
+    tr = make_tr(spark, TERRAIN, tile_size=8)
+    out = FO.fconvolve(tr, np.zeros((3, 3))).collect_array("r0")
+    np.testing.assert_array_equal(out, np.zeros_like(TERRAIN, dtype=np.float64))
+    with pytest.raises(ValueError, match="3x3"):
+        FO.fconvolve(tr, np.ones((5, 5)))
