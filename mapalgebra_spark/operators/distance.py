@@ -1,0 +1,201 @@
+"""Exact Euclidean distance transform — the GLOBAL map-algebra family.
+
+GaCM's operation taxonomy is local / focal / zonal / GLOBAL; the
+reference implements the first three families (MapAlgebra.hs:679-1263)
+and no global op.  The canonical global op is the distance raster —
+per-pixel Euclidean distance to the nearest target pixel — behind
+buffer zones, proximity allocation and cost surfaces.
+
+A distance transform is irreducibly global (a target anywhere on the
+raster can determine a pixel's value), but the EXACT squared-Euclidean
+EDT is SEPARABLE (Felzenszwalb & Huttenlocher, "Distance Transforms of
+Sampled Functions", Theory of Computing 2012; also Meijster et al.
+2000 — public algorithms, re-implemented here from the papers'
+definitions):
+
+    d(y,x)^2 = min_x' [ (x-x')^2 + min_y' ( (y-y')^2 | mask[y',x'] ) ]
+
+so it distributes as TWO TRANSPOSED STRIP PASSES over the tile table:
+
+1. **vertical pass** — group tiles by (raster_id, band, tx): each task
+   assembles one tile-COLUMN strip (H x tile_w), computes per-column
+   1-D distance-to-nearest-target-in-column with a down sweep + up
+   sweep (two `O(H)` vectorized scans), and re-emits the strip's tiles
+   carrying `dv` (vertical distance, +inf where the column is empty).
+2. **horizontal pass** — group by (raster_id, band, ty): each task
+   assembles one tile-ROW strip (tile_h x W) of `dv`, and resolves the
+   outer min over x' per row.  Two exact inner kernels, identical
+   output:
+
+   * ``inner="dense"`` (default) — per row, ``min(dv^2[x'] + (x-x')^2)``
+     against a precomputed (W x W) offset matrix; O(W^2) per row but
+     pure vectorized numpy — the fast path for W up to ~10^4.
+   * ``inner="envelope"`` — the Felzenszwalb lower-envelope scan,
+     O(W) per row; the asymptotic path for very wide rasters (pays a
+     Python-level loop per row, so it wins only when W is large).
+
+Shuffle accounting: exactly two shuffles of the raster bytes (the
+group-by-tile-column and group-by-tile-row exchanges) — the
+theoretical minimum for an exact global op expressed over a 2-D-tiled
+table without an all-to-all.  Worker memory is O(strip) =
+O(max(H, W) x tile_pitch) per task; for rasters whose full row/column
+strips exceed executor memory, tile the raster coarser or run the
+banded multi-pass variant (not needed at any shipped scale — a
+774 x 256 float64 strip is 1.6 MB).
+
+``buffer_mask`` derives the classic buffer zone (distance <= r) from
+the distance raster with one local op.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ..raster import TileRaster
+from ..tiles import TILE_SCHEMA, aux_blobs, decode_block, encode_block
+
+__all__ = ["distance_transform", "buffer_mask"]
+
+
+def _vertical_scan(mask: np.ndarray) -> np.ndarray:
+    """Per-column distance (in rows) to the nearest True in the SAME
+    column: a down sweep then an up sweep, each O(H) vectorized over
+    the strip width.  +inf where the whole column has no target."""
+    h, w = mask.shape
+    dv = np.full((h, w), np.inf)
+    run = np.full(w, np.inf)
+    for y in range(h):          # down: nearest target at or above
+        run = np.where(mask[y], 0.0, run + 1.0)
+        dv[y] = run
+    run = np.full(w, np.inf)
+    for y in range(h - 1, -1, -1):  # up: nearest target at or below
+        run = np.where(mask[y], 0.0, run + 1.0)
+        dv[y] = np.minimum(dv[y], run)
+    return dv
+
+
+def _edt_rows_dense(dv: np.ndarray) -> np.ndarray:
+    """out[y,x] = min_x' (dv[y,x']^2 + (x-x')^2), vectorized per row
+    against a precomputed (W x W) squared-offset matrix."""
+    h, w = dv.shape
+    with np.errstate(invalid="ignore"):
+        f = dv * dv             # inf stays inf
+    xs = np.arange(w, dtype=np.float64)
+    dx2 = (xs[:, None] - xs[None, :]) ** 2   # (x, x')
+    out = np.empty((h, w), dtype=np.float64)
+    for y in range(h):
+        out[y] = np.min(f[y][None, :] + dx2, axis=1)
+    return out
+
+
+def _edt_line_envelope(f: np.ndarray) -> np.ndarray:
+    """Felzenszwalb & Huttenlocher 1-D squared-EDT lower-envelope scan
+    (TOC 2012, Algorithm 1): O(W) per line.  ``f`` may contain +inf
+    (empty columns) — an inf parabola can never be a minimizer when any
+    finite one exists, so the envelope runs over the finite sites only."""
+    w = f.shape[0]
+    fin = np.flatnonzero(np.isfinite(f))
+    if fin.size == 0:
+        return np.full(w, np.inf)
+    v = np.zeros(fin.size, dtype=np.int64)  # parabola sites (positions)
+    z = np.empty(fin.size + 1)              # envelope boundaries
+    k = 0
+    v[0] = int(fin[0])
+    z[0], z[1] = -np.inf, np.inf
+    for q in fin[1:]:
+        q = int(q)
+        while True:
+            p = v[k]
+            s = ((f[q] + q * q) - (f[p] + p * p)) / (2 * q - 2 * p)
+            if s <= z[k]:
+                k -= 1  # z[0] = -inf: a finite s never pops past k=0
+            else:
+                break
+        k += 1
+        v[k] = q
+        z[k], z[k + 1] = s, np.inf
+    out = np.empty(w)
+    k = 0
+    for q in range(w):
+        while z[k + 1] < q:
+            k += 1
+        p = v[k]
+        out[q] = (q - p) ** 2 + f[p]
+    return out
+
+
+def _edt_rows_envelope(dv: np.ndarray) -> np.ndarray:
+    with np.errstate(invalid="ignore"):
+        f = dv * dv
+    return np.stack([_edt_line_envelope(f[y]) for y in range(dv.shape[0])])
+
+
+def _strip_pass(tr: TileRaster, axis: str, fn) -> TileRaster:
+    """Group the tile table into full row/column strips of each raster
+    and apply ``fn(strip_float64) -> strip_float64``, re-emitting the
+    strip's tiles.  ``axis="col"`` groups by tx (strip = all ty),
+    ``axis="row"`` groups by ty."""
+    group_key = "tx" if axis == "col" else "ty"
+    other = "ty" if axis == "col" else "tx"
+
+    def run(key, pdf):
+        pdf = pdf.sort_values(other)
+        if (pdf["planes"] > 1).any():
+            raise ValueError("distance_transform expects single-plane tiles")
+        blocks = [
+            decode_block(r["tile"], r["dtype"], int(r["h"]), int(r["w"]),
+                         int(r["planes"])).astype(np.float64)
+            for _, r in pdf.iterrows()
+        ]
+        strip = np.concatenate(blocks, axis=0 if axis == "col" else 1)
+        out = fn(strip)
+        rows = []
+        off = 0
+        for (_, r), blk in zip(pdf.iterrows(), blocks):
+            h, w = int(r["h"]), int(r["w"])
+            if axis == "col":
+                piece = out[off: off + h, :]
+                off += h
+            else:
+                piece = out[:, off: off + w]
+                off += w
+            piece = np.ascontiguousarray(piece)
+            d = {c: r[c] for c in (
+                "raster_id", "band", "ty", "tx", "h", "w", "nty", "ntx",
+                "rh", "rw", "cell_id",
+            )}
+            d.update(dtype="float64", planes=1, tile=encode_block(piece),
+                     **aux_blobs(piece))
+            rows.append(d)
+        return pd.DataFrame(rows)
+
+    grouped = tr.strict().df.groupby("raster_id", "band", group_key).applyInPandas(
+        run, TILE_SCHEMA
+    )
+    return TileRaster(grouped)
+
+
+def distance_transform(mask_tr: TileRaster, inner: str = "dense") -> TileRaster:
+    """Per-pixel exact Euclidean distance to the nearest nonzero pixel
+    of ``mask_tr`` (+inf when a raster has no target at all).
+
+    Two strip shuffles total (see module docstring); the result is
+    bit-identical between ``inner`` kernels and to a full-raster
+    single-machine reference (pinned in tests/test_distance.py)."""
+    if inner not in ("dense", "envelope"):
+        raise ValueError(f"inner must be 'dense' or 'envelope', got {inner!r}")
+    rows_fn = _edt_rows_dense if inner == "dense" else _edt_rows_envelope
+    vert = _strip_pass(mask_tr, "col", lambda s: _vertical_scan(s != 0))
+    sq = _strip_pass(vert, "row", rows_fn)
+    return sq.map(np.sqrt)
+
+
+def buffer_mask(mask_tr: TileRaster, radius: float, inner: str = "dense") -> TileRaster:
+    """Classic buffer zone: 1.0 where the Euclidean distance to the
+    nearest target is <= ``radius``, else 0.0 — distance_transform plus
+    one fused local op."""
+    return distance_transform(mask_tr, inner=inner).map(
+        lambda d: (d <= radius).astype(np.float64)
+    )

@@ -2262,6 +2262,43 @@ FROM nb
 
 
 # ---------------------------------------------------------------------------
+# global-op family: exact Euclidean distance transform (r4) — the GaCM
+# operation class (local/focal/zonal/GLOBAL) the reference lacks
+# ---------------------------------------------------------------------------
+
+
+def q_distance(spark, sf_dir):
+    """Exact EDT distributed as two transposed strip passes
+    (operators/distance.py): distance from every cell to the nearest
+    target cell (ival == 3 AND ival2 == 3, ~1/16 density).  Oracle is
+    the O(cells x targets) brute-force min — a completely independent
+    formulation; sqrt of identical exact integers is bit-identical
+    IEEE, 6dp rounding only for hash hygiene."""
+    from .operators.distance import distance_transform
+
+    g, G = grid_df(spark, sf_dir)
+    gm = g.withColumn(
+        "tgt",
+        ((F.col("ival") == 3) & (F.col("ival2") == 3)).cast("double"),
+    )
+    mask = grid_to_tiles(gm, G, "tgt", "float64", "a")
+    dist = distance_transform(mask)
+    return _r6(tiles_to_rows(dist, "dist"), "dist")
+
+
+ORACLE["distance_grid"] = f"""
+WITH {GRID_CTE},
+tgt AS (SELECT gy, gx FROM grid WHERE ival = 3 AND ival2 = 3)
+SELECT g.gy, g.gx,
+       round(sqrt(CAST(min((g.gy - t.gy)*(g.gy - t.gy)
+                           + (g.gx - t.gx)*(g.gx - t.gx)) AS DOUBLE)), 6)
+         AS dist
+FROM grid g CROSS JOIN tgt t
+GROUP BY g.gy, g.gx
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2385,4 +2422,7 @@ QUERIES = {
     "zonal_polygons_convex": q_zonal_polygons_convex,
     # r4: general weighted 3x3 linear focal filter (Gaussian smoothing)
     "fconvolve_grid": q_fconvolve,
+    # r4: the GLOBAL op family — exact Euclidean distance transform as
+    # two transposed strip passes; brute-force independent oracle
+    "distance_grid": q_distance,
 }
