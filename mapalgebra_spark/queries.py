@@ -2299,6 +2299,58 @@ GROUP BY g.gy, g.gx
 
 
 # ---------------------------------------------------------------------------
+# sessionization + document chunking (r4)
+# ---------------------------------------------------------------------------
+
+
+def q_sessionize(spark, sf_dir):
+    # gap-based sessions (30-min) over the events table; epoch-seconds
+    # bounds keep the compare format-independent (event_windows idiom)
+    from .streaming import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+ORACLE["sessionize"] = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+  FROM events
+),
+m AS (SELECT *, CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) > 1800.0
+                     THEN 1 ELSE 0 END AS ns FROM o),
+s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       CAST(floor(min(epoch(ts))) AS BIGINT) AS session_start,
+       CAST(floor(max(epoch(ts))) AS BIGINT) AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def q_doc_chunks(spark, sf_dir):
+    # overlapping 64-token context windows, stride 48 — the standard
+    # LLM-training chunking step, pure JVM sequence+slice
+    from .textops import chunk_documents
+
+    return chunk_documents(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), size=64, stride=48
+    )
+
+
+ORACLE["doc_chunks"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM tk)
+SELECT doc_id, CAST(s AS INT) AS chunk_start,
+       array_to_string(t[s+1:s+64], ' ') AS chunk_text,
+       CAST(least(64, len(t) - s) AS INT) AS chunk_tokens
+FROM st
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -2425,4 +2477,7 @@ QUERIES = {
     # r4: the GLOBAL op family — exact Euclidean distance transform as
     # two transposed strip passes; brute-force independent oracle
     "distance_grid": q_distance,
+    # r4: gap-based sessionization + LLM context-window chunking
+    "sessionize": q_sessionize,
+    "doc_chunks": q_doc_chunks,
 }

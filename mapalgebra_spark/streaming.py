@@ -491,3 +491,48 @@ def stream_running_tile_max(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# --- sessionization (batch form; gap-based) ----------------------------------
+
+
+def sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
+    """Gap-based sessionization of an event stream's batch table: a new
+    session starts when a user's inter-event gap exceeds
+    ``gap_minutes``.  Returns one row per (user_id, session_id) with
+    start/end epoch seconds, event count and value total.
+
+    The classic two-window formulation — lag to flag session starts,
+    running sum to number them — both windows partitioned by user_id,
+    so 10^9 users spread across the cluster and no global sort exists.
+    Gap comparison is on exact epoch microseconds (doubles are exact to
+    sub-microsecond at 2024 epochs), deterministic ties broken by
+    event_id.  The streaming twin of this semantics is
+    ``session_window`` aggregation; the batch form is the backfill
+    path."""
+    from pyspark.sql import Window
+
+    # parquet event tables load as TIMESTAMP_NTZ, which has no direct
+    # numeric cast; via timestamp_ltz the wall time is interpreted in
+    # the session timezone (pinned UTC in session.py — the same
+    # naive-as-UTC reading DuckDB's epoch() uses).  LTZ inputs pass
+    # through the first cast unchanged.
+    epoch = F.col("ts").cast("timestamp_ltz").cast("double")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(epoch).over(w)
+    new_s = F.when(
+        prev.isNull() | (epoch - prev > gap_minutes * 60.0), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = events.select(
+        "user_id", "ts", "event_id", "value",
+        epoch.cast("long").alias("ep"), new_s.alias("ns"),
+    ).withColumn("session_id", F.sum("ns").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ep").alias("session_start"),
+        F.max("ep").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )

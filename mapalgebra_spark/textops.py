@@ -645,3 +645,29 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
         list(getattr(pairs, "_persisted_bases", ()))
         + list(getattr(comp, "_persisted_bases", ())),
     )
+
+
+def chunk_documents(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard LLM-training preprocessing step (context windows of
+    ``size`` tokens advancing by ``stride``; the final chunk may be
+    short).  Pure JVM: sequence + explode + slice, shuffle keyed by
+    doc_id only.  Returns (doc_id, chunk_start, chunk_text,
+    chunk_tokens)."""
+    if not (0 < stride <= size):
+        raise ValueError(f"need 0 < stride <= size, got stride={stride} size={size}")
+    toks = F.split("text", " ", -1)
+    e = docs.repartition(F.col("doc_id")).select(
+        "doc_id",
+        toks.alias("tk"),
+        F.explode(
+            F.expr(f"sequence(0, size(split(text, ' ', -1)) - 1, {stride})")
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice("tk", F.col("chunk_start") + 1, size)
+    return e.select(
+        "doc_id",
+        "chunk_start",
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("chunk_tokens"),
+    )

@@ -1,0 +1,73 @@
+"""sessionize (gap-based) and chunk_documents (token windows) semantics."""
+
+import datetime as dt
+
+import pytest
+
+from mapalgebra_spark.streaming import sessionize
+from mapalgebra_spark.textops import chunk_documents
+
+pytestmark = pytest.mark.spark
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, T0 + dt.timedelta(minutes=m), u, "t", v, "{}")
+         for i, (m, u, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+
+
+def test_sessionize_gap_semantics(spark):
+    # user 1: events at 0, 10, 50 min -> gap 40 > 30 splits sessions
+    # user 2: events at 0, 29, 58 -> each gap 29 <= 30: ONE session
+    ev = _ev(spark, [
+        (0, 1, 1.0), (10, 1, 2.0), (50, 1, 4.0),
+        (0, 2, 10.0), (29, 2, 10.0), (58, 2, 10.0),
+    ])
+    got = {(r["user_id"], r["session_id"]): r.asDict()
+           for r in sessionize(ev, gap_minutes=30).collect()}
+    assert len(got) == 3
+    s11, s12 = got[(1, 1)], got[(1, 2)]
+    assert s11["n_events"] == 2 and s11["total_value"] == 3.0
+    assert s12["n_events"] == 1 and s12["total_value"] == 4.0
+    assert s11["session_end"] - s11["session_start"] == 600
+    s21 = got[(2, 1)]
+    assert s21["n_events"] == 3 and s21["session_end"] - s21["session_start"] == 58 * 60
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    # gap of exactly 30 min does NOT split (strict >)
+    ev = _ev(spark, [(0, 1, 1.0), (30, 1, 1.0)])
+    rows = sessionize(ev, gap_minutes=30).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 2
+
+
+def _chunks(spark, text, size, stride):
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    return sorted(
+        (r["chunk_start"], r["chunk_text"], r["chunk_tokens"])
+        for r in chunk_documents(df, size=size, stride=stride).collect()
+    )
+
+
+def test_chunking_overlap_and_tail(spark):
+    toks = [f"w{i}" for i in range(10)]
+    got = _chunks(spark, " ".join(toks), size=4, stride=3)
+    assert got == [
+        (0, "w0 w1 w2 w3", 4),
+        (3, "w3 w4 w5 w6", 4),
+        (6, "w6 w7 w8 w9", 4),
+        (9, "w9", 1),          # short tail kept, length recorded
+    ]
+
+
+def test_chunking_short_doc_and_validation(spark):
+    got = _chunks(spark, "only two", size=64, stride=48)
+    assert got == [(0, "only two", 2)]
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=4, stride=5)
