@@ -29,7 +29,9 @@ so it distributes as TWO TRANSPOSED STRIP PASSES over the tile table:
 
    * ``inner="dense"`` (default) — per row, ``min(dv^2[x'] + (x-x')^2)``
      against a precomputed (W x W) offset matrix; O(W^2) per row but
-     pure vectorized numpy — the fast path for W up to ~10^4.
+     pure vectorized numpy — the fast path up to a few thousand px of
+     width (the matrix is W^2 doubles: ~5 MB at W=774, ~80 MB at
+     W=3200).
    * ``inner="envelope"`` — the Felzenszwalb lower-envelope scan,
      O(W) per row; the asymptotic path for very wide rasters (pays a
      Python-level loop per row, so it wins only when W is large).
