@@ -536,3 +536,31 @@ def sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 6).alias("total_value"),
     )
+
+
+def stream_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of :func:`sessionize`: Structured Streaming's
+    native ``session_window`` aggregation (state = open sessions,
+    closed by the watermark).  Works on a batch DataFrame too — the
+    batch analog is the test oracle, exactly the stream_event_stats
+    pattern.  Note the standard session_window semantics:
+    ``session_end`` is last_event + gap (the window close), not the
+    last event's timestamp as in the batch rollup."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").cast("long").alias("session_start"),
+            F.col("win.end").cast("long").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

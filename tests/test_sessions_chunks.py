@@ -71,3 +71,50 @@ def test_chunking_short_doc_and_validation(spark):
     df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="stride"):
         chunk_documents(df, size=4, stride=5)
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    from mapalgebra_spark.streaming import stream_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    exp = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+        for r in stream_sessionize(events).collect()
+    }
+    in_dir = str(tmp_path / "ev")
+    events.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    out_rows = []
+    q = (
+        stream_sessionize(stream)
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _: out_rows.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_value"])
+           for r in out_rows}
+    # append emits only watermark-closed sessions; every emitted session
+    # must match the batch analog exactly
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v, k
+
+
+def test_stream_sessionize_membership_matches_batch_rollup(spark):
+    # same gap -> identical session memberships as the lag/cumsum batch
+    # rollup (boundary: exact-gap ties are measure-zero on micro
+    # timestamps; the sf0.001 table has none)
+    from mapalgebra_spark.streaming import sessionize, stream_sessionize
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in sessionize(events, gap_minutes=30).collect()
+    )
+    b = sorted(
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in stream_sessionize(events, gap="30 minutes").collect()
+    )
+    assert a == b
