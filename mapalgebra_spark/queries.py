@@ -2350,6 +2350,77 @@ FROM st
 """
 
 
+def q_ring_measures(spark, sf_dir):
+    """Vector measures (spatial.ring_measures: shoelace area, perimeter,
+    polygon centroid) over deterministic integer-vertex rings — even
+    doc_ids get a scalene triangle, odd a rectangle.  The oracle uses
+    CLOSED FORMS (3-point shoelace + vertex-mean centroid; w*h /
+    2(w+h) / center for rectangles), a different formulation from the
+    engine's generic posexplode+window pipeline, so agreement checks
+    the geometry math, not a replay.  Integer vertices keep the cross
+    sums exact; 6dp rounding absorbs only the sqrt-sum and
+    rational-division ulps."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    did = F.col("doc_id")
+    x0, y0 = (did % 50).cast("double"), (did % 37).cast("double")
+    m5, m7, m11 = (did % 5).cast("double"), (did % 7).cast("double"), (did % 11).cast("double")
+    tri = d.filter(did % 2 == 0).select(
+        did.alias("poly_id"),
+        F.array(y0, y0 + 1 + m5, y0 + 7 + m11).alias("ring_lat"),
+        F.array(x0, x0 + 5 + m7, x0 + 2).alias("ring_lng"),
+    )
+    w_, h_ = (3 + did % 6).cast("double"), (2 + did % 9).cast("double")
+    quad = d.filter(did % 2 == 1).select(
+        did.alias("poly_id"),
+        F.array(y0, y0, y0 + h_, y0 + h_).alias("ring_lat"),
+        F.array(x0, x0 + w_, x0 + w_, x0).alias("ring_lng"),
+    )
+    out = SP.ring_measures(tri.unionByName(quad), "poly_id")
+    return out.select(
+        "poly_id",
+        F.round("area", 6).alias("area"),
+        F.round("perimeter", 6).alias("perimeter"),
+        F.round("centroid_x", 6).alias("centroid_x"),
+        F.round("centroid_y", 6).alias("centroid_y"),
+    )
+
+
+ORACLE["ring_measures"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(doc_id % 50 AS DOUBLE) AS x0, CAST(doc_id % 37 AS DOUBLE) AS y0,
+         CAST(doc_id % 5 AS DOUBLE) AS m5, CAST(doc_id % 7 AS DOUBLE) AS m7,
+         CAST(doc_id % 11 AS DOUBLE) AS m11,
+         CAST(3 + doc_id % 6 AS DOUBLE) AS w, CAST(2 + doc_id % 9 AS DOUBLE) AS h
+  FROM documents
+),
+tri AS (
+  SELECT doc_id AS poly_id,
+         x0 AS ax, y0 AS ay, x0 + 5 + m7 AS bx, y0 + 1 + m5 AS by,
+         x0 + 2 AS cx, y0 + 7 + m11 AS cy
+  FROM b WHERE doc_id % 2 = 0
+),
+tm AS (
+  SELECT poly_id,
+         abs((bx - ax)*(cy - ay) - (by - ay)*(cx - ax)) / 2.0 AS area,
+         sqrt((bx-ax)*(bx-ax) + (by-ay)*(by-ay))
+         + sqrt((cx-bx)*(cx-bx) + (cy-by)*(cy-by))
+         + sqrt((ax-cx)*(ax-cx) + (ay-cy)*(ay-cy)) AS perimeter,
+         (ax + bx + cx) / 3.0 AS centroid_x,
+         (ay + by + cy) / 3.0 AS centroid_y
+  FROM tri
+),
+qm AS (
+  SELECT doc_id AS poly_id, w * h AS area, 2.0 * (w + h) AS perimeter,
+         x0 + w / 2.0 AS centroid_x, y0 + h / 2.0 AS centroid_y
+  FROM b WHERE doc_id % 2 = 1
+)
+SELECT poly_id, round(area, 6) AS area, round(perimeter, 6) AS perimeter,
+       round(centroid_x, 6) AS centroid_x, round(centroid_y, 6) AS centroid_y
+FROM (SELECT * FROM tm UNION ALL SELECT * FROM qm)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2480,4 +2551,6 @@ QUERIES = {
     # r4: gap-based sessionization + LLM context-window chunking
     "sessionize": q_sessionize,
     "doc_chunks": q_doc_chunks,
+    # r4: vector measures (shoelace/centroid) vs closed-form oracle
+    "ring_measures": q_ring_measures,
 }

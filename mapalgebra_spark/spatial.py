@@ -502,3 +502,62 @@ def zonal_stats_by_polygon(
             F.max("zmax").alias("zmax"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# vector measures: area / perimeter / centroid of polygon rings
+# ---------------------------------------------------------------------------
+
+
+def ring_measures(polygons: DataFrame, id_col: str = "poly_id") -> DataFrame:
+    """Planar geometry measures per polygon ring — the vector-analytics
+    companions to the raster layers (the reference is raster-only):
+
+    - ``area``       |shoelace|/2
+    - ``perimeter``  sum of edge lengths (closing edge included)
+    - ``centroid_x/y``  polygon centroid (sum (v_i + v_{i+1}) * cross_i
+      / (6 * signed_area) — NOT the vertex mean)
+
+    Input: (id_col, ring_lat array<double>, ring_lng array<double>) —
+    the rasterize_polygons ring layout (x = lng, y = lat, implicit
+    closing edge).  Pure JVM: one posexplode + lead window keyed by
+    polygon + one aggregate, so 10^9 rings distribute with no driver
+    state.  Degenerate rings (zero signed area) return NULL centroid
+    rather than a division blowup."""
+    from pyspark.sql import Window
+
+    n = F.size("ring_lng")
+    e = polygons.select(
+        id_col,
+        n.alias("n"),
+        F.posexplode(F.arrays_zip("ring_lng", "ring_lat")).alias("i", "v"),
+    ).select(
+        id_col, "n", "i",
+        F.col("v.ring_lng").alias("x"), F.col("v.ring_lat").alias("y"),
+    )
+    w = Window.partitionBy(id_col).orderBy("i")
+    # closing edge: the lead of the last vertex wraps to vertex 0
+    nx = F.coalesce(F.lead("x").over(w), F.first("x").over(w))
+    ny = F.coalesce(F.lead("y").over(w), F.first("y").over(w))
+    terms = e.select(
+        id_col,
+        (F.col("x") * ny - nx * F.col("y")).alias("cross"),
+        F.sqrt((nx - F.col("x")) ** 2 + (ny - F.col("y")) ** 2).alias("elen"),
+        ((F.col("x") + nx) * (F.col("x") * ny - nx * F.col("y"))).alias("cx"),
+        ((F.col("y") + ny) * (F.col("x") * ny - nx * F.col("y"))).alias("cy"),
+    )
+    agg = terms.groupBy(id_col).agg(
+        (F.sum("cross") / 2.0).alias("signed_area"),
+        F.sum("elen").alias("perimeter"),
+        F.sum("cx").alias("scx"),
+        F.sum("cy").alias("scy"),
+    )
+    return agg.select(
+        id_col,
+        F.abs("signed_area").alias("area"),
+        "perimeter",
+        F.when(F.col("signed_area") != 0.0,
+               F.col("scx") / (6.0 * F.col("signed_area"))).alias("centroid_x"),
+        F.when(F.col("signed_area") != 0.0,
+               F.col("scy") / (6.0 * F.col("signed_area"))).alias("centroid_y"),
+    )

@@ -118,3 +118,28 @@ def test_stream_sessionize_membership_matches_batch_rollup(spark):
         for r in stream_sessionize(events, gap="30 minutes").collect()
     )
     assert a == b
+
+
+# --- ring_measures (vector geometry, spatial.py r4) --------------------------
+
+
+def test_ring_measures_orientation_and_degenerate(spark):
+    from mapalgebra_spark.spatial import ring_measures
+
+    polys = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 3.0], [0.0, 4.0, 0.0]),   # CW triangle (signed < 0)
+            (2, [0.0, 3.0, 0.0], [0.0, 0.0, 4.0]),   # same triangle CCW
+            (3, [1.0, 1.0, 1.0], [0.0, 5.0, 2.0]),   # collinear: zero area
+        ],
+        "poly_id long, ring_lat array<double>, ring_lng array<double>",
+    )
+    got = {r["poly_id"]: r.asDict() for r in ring_measures(polys).collect()}
+    # 3-4-5 right triangle either orientation: area 6, perimeter 12
+    for pid in (1, 2):
+        assert got[pid]["area"] == 6.0
+        assert got[pid]["perimeter"] == 12.0
+        assert got[pid]["centroid_x"] == pytest.approx(4.0 / 3.0)
+        assert got[pid]["centroid_y"] == pytest.approx(1.0)
+    assert got[3]["area"] == 0.0
+    assert got[3]["centroid_x"] is None and got[3]["centroid_y"] is None
