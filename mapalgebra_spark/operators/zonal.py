@@ -188,3 +188,25 @@ def zonal_stats_by_cell(values: TileRaster) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return _final_agg(src.mapInPandas(partial, _PARTIAL_SCHEMA))
+
+
+def zonal_top_stats(census: DataFrame) -> DataFrame:
+    """(zone, majority, minority, variety) from a :func:`zonal_census`
+    — the categorical zonal statistics (GaCM zonal majority / minority
+    / variety).  Ties break to the SMALLEST value, the same convention
+    as the reference's lmajority/fmajority (MapAlgebra.hs:708-739).
+    Operates on the census (zones x categories rows), so the windows
+    here never touch pixel-scale data."""
+    from pyspark.sql import Window
+
+    wmaj = Window.partitionBy("zone").orderBy(F.desc("n"), F.asc("val"))
+    wmin = Window.partitionBy("zone").orderBy(F.asc("n"), F.asc("val"))
+    ranked = census.select(
+        "zone", "val",
+        F.row_number().over(wmaj).alias("rmaj"),
+        F.row_number().over(wmin).alias("rmin"),
+    )
+    maj = ranked.where(F.col("rmaj") == 1).select("zone", F.col("val").alias("majority"))
+    mnr = ranked.where(F.col("rmin") == 1).select("zone", F.col("val").alias("minority"))
+    var = census.groupBy("zone").agg(F.count("*").alias("variety"))
+    return maj.join(mnr, "zone").join(var, "zone")

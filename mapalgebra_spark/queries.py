@@ -2421,6 +2421,34 @@ FROM (SELECT * FROM tm UNION ALL SELECT * FROM qm)
 """
 
 
+def q_zonal_majority(spark, sf_dir):
+    """Categorical zonal statistics: zonal_census (per-tile np.unique
+    partials) → zonal_top_stats windows over the census — majority /
+    minority (ties to the smallest value, the reference's
+    l/f-majority convention) and variety per zone."""
+    from .operators.zonal import zonal_census, zonal_top_stats
+
+    g, G = grid_df(spark, sf_dir)
+    vals = grid_to_tiles(g, G, "ival", "int64", "a")
+    zones = grid_to_tiles(g, G, "zone", "int64", "a")
+    return zonal_top_stats(zonal_census(vals, zones))
+
+
+ORACLE["zonal_majority"] = f"""
+WITH {GRID_CTE},
+census AS (SELECT zone, CAST(ival AS DOUBLE) AS val, count(*) AS n
+           FROM grid GROUP BY zone, ival),
+r AS (SELECT zone, val,
+        row_number() OVER (PARTITION BY zone ORDER BY n DESC, val) AS rmaj,
+        row_number() OVER (PARTITION BY zone ORDER BY n ASC, val) AS rmin
+      FROM census)
+SELECT zone, max(CASE WHEN rmaj = 1 THEN val END) AS majority,
+       max(CASE WHEN rmin = 1 THEN val END) AS minority,
+       count(*) AS variety
+FROM r GROUP BY zone
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2553,4 +2581,6 @@ QUERIES = {
     "doc_chunks": q_doc_chunks,
     # r4: vector measures (shoelace/centroid) vs closed-form oracle
     "ring_measures": q_ring_measures,
+    # r4: categorical zonal stats (majority/minority/variety via census)
+    "zonal_majority": q_zonal_majority,
 }
