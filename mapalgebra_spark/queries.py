@@ -2478,7 +2478,8 @@ QUERIES = {
     "lmajority_grid": q_lmajority,
     "histogram_grid": q_histogram,
     "zonal_grid": q_zonal,
-    "zonal_var_grid": q_zonal_var,
+    # the GLOBAL op family (late r4: exact EDT, two strip passes)
+    "distance_grid": q_distance,
     "event_windows": q_event_windows,
     # the reference's flagship fused Num/Fractional composite
     "evi_grid": q_evi,
@@ -2519,7 +2520,8 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "quality_scores": q_quality_scores,
-    "cosine_topk": q_cosine_topk,
+    # transitive keep-one-per-cluster (late r4: connected components)
+    "dedup_clusters": q_dedup_clusters,
     "cosine_topk_lsh": q_cosine_topk_lsh,
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "minhash_pairs": q_minhash_pairs,
@@ -2531,6 +2533,11 @@ QUERIES = {
     # planted byte-duplicates; see section docstring)
     "image_near_dup": q_image_near_dup,
     # ---- position 51+: siblings/variants of hash-validated ops ----
+    # late-r4 demotions: the exact-ANN baseline (its scale paths lsh/
+    # ivf stay in the window) and the zonal variance variant
+    # (zonal_grid stays) — both still hash-checked locally
+    "cosine_topk": q_cosine_topk,
+    "zonal_var_grid": q_zonal_var,
     "lmin_grid": q_lmin,
     "lminority_grid": q_lminority,
     "fmin_grid": q_fmin,
@@ -2563,19 +2570,16 @@ QUERIES = {
     # full-lifecycle composition under one hash: tiles -> focal fsum ->
     # strict -> colorize -> zonal colour census (r3 verdict stretch 7)
     "pipeline_composed": q_pipeline_composed,
-    # r4: graph layer (large-star/small-star connected components) and
-    # Gopher-style repetition signals
+    # r4: graph layer (large-star/small-star connected components —
+    # dedup_clusters itself is in the driver window) and Gopher-style
+    # repetition signals
     "repetition": q_repetition,
-    "dedup_clusters": q_dedup_clusters,
     "cc_chain": q_cc_chain,
     # r4: ray-cast rasterizer vs an independent half-plane oracle on
     # non-rectangular (diagonal-edge) zones
     "zonal_polygons_convex": q_zonal_polygons_convex,
     # r4: general weighted 3x3 linear focal filter (Gaussian smoothing)
     "fconvolve_grid": q_fconvolve,
-    # r4: the GLOBAL op family — exact Euclidean distance transform as
-    # two transposed strip passes; brute-force independent oracle
-    "distance_grid": q_distance,
     # r4: gap-based sessionization + LLM context-window chunking
     "sessionize": q_sessionize,
     "doc_chunks": q_doc_chunks,
