@@ -2465,6 +2465,11 @@ FROM r GROUP BY zone
 # twin stays validated (lmin/lmax, lminority/lmajority, fmin/fmax,
 # fminority/fmajority, upsample nearest/bilinear, knn exact/cells —
 # knn_cells' brute-force fallback exercises the exact path too).
+# Late r4 further rotated distance_grid (the global-op family) and
+# dedup_clusters (transitive clustering) into the window, demoting
+# the deliberately-exact cosine_topk baseline (its scale paths
+# lsh/ivf stay in the window) and the zonal variance variant
+# (zonal_grid stays).
 # Positions 51+ remain registered: bench.py times them and
 # tests/test_oracle_pairs.py hash-checks every pair locally — they are
 # the right entries to fall outside a capped driver window.
