@@ -58,7 +58,7 @@ from pyspark.sql import functions as F
 from ..raster import TileRaster
 from ..tiles import TILE_SCHEMA, aux_blobs, decode_block, encode_block
 
-__all__ = ["distance_transform", "buffer_mask"]
+__all__ = ["distance_transform", "buffer_mask", "distance_allocation"]
 
 
 def _vertical_scan(mask: np.ndarray) -> np.ndarray:
@@ -201,3 +201,81 @@ def buffer_mask(mask_tr: TileRaster, radius: float, inner: str = "dense") -> Til
     return distance_transform(mask_tr, inner=inner).map(
         lambda d: (d <= radius).astype(np.float64)
     )
+
+
+# ---------------------------------------------------------------------------
+# Euclidean allocation (Voronoi assignment) — EDT's canonical companion
+# ---------------------------------------------------------------------------
+
+#: sentinel vertical distance for target-less columns: real per-axis
+#: distances are < 2^24 (raster dims up to ~16M px), so a sentinel
+#: total of 2^48 can never collide with a real squared distance
+#: (< 2^41 at 2^20-px dims) and packs exactly in float64
+_BIG_D = float(2 ** 24)
+_PACK = float(2 ** 25)  # dv * _PACK + row: dv <= 2^24, row < 2^24
+
+
+def _vertical_scan_argmin(mask: np.ndarray) -> np.ndarray:
+    """Packed (dv, nearest-row) per column: dv * _PACK + row, where the
+    nearest target IN THE COLUMN breaks up/down ties NORTH (smaller
+    row).  Target-less columns carry dv = _BIG_D, row = 0."""
+    h, w = mask.shape
+    da = np.empty((h, w)); ra = np.empty((h, w))
+    db = np.empty((h, w)); rb = np.empty((h, w))
+    run = np.full(w, _BIG_D); row = np.zeros(w)
+    for y in range(h):          # down: nearest at-or-above
+        run = np.where(mask[y], 0.0, np.minimum(run + 1.0, _BIG_D))
+        row = np.where(mask[y], float(y), row)
+        da[y], ra[y] = run, row
+    run = np.full(w, _BIG_D); row = np.zeros(w)
+    for y in range(h - 1, -1, -1):  # up: nearest at-or-below
+        run = np.where(mask[y], 0.0, np.minimum(run + 1.0, _BIG_D))
+        row = np.where(mask[y], float(y), row)
+        db[y], rb[y] = run, row
+    below_wins = db < da        # tie -> above (north, smaller row)
+    dv = np.where(below_wins, db, da)
+    ry = np.where(below_wins, rb, ra)
+    ry = np.where(dv >= _BIG_D, 0.0, ry)
+    return np.where(dv >= _BIG_D, _BIG_D, dv) * _PACK + ry
+
+
+def _alloc_rows_dense(packed: np.ndarray) -> np.ndarray:
+    """Resolve the horizontal min per row over the packed vertical
+    results; emit the nearest target's linear id y'*W + x' (W = the
+    full raster width = this row-strip's width), or -1 where the
+    raster has no target.  Tie rule: smallest d^2, then smallest
+    target column x' (np.argmin first-hit), then the column's
+    northern tie choice — i.e. lexicographic (d^2, x', y')."""
+    h, w = packed.shape
+    dv = np.floor(packed / _PACK)
+    ry = packed - dv * _PACK
+    f = dv * dv                  # exact: integers < 2^48
+    xs = np.arange(w, dtype=np.float64)
+    dx2 = (xs[:, None] - xs[None, :]) ** 2
+    out = np.empty((h, w), dtype=np.float64)
+    no_target = _BIG_D * _BIG_D
+    for y in range(h):
+        total = f[y][None, :] + dx2       # exact integer doubles
+        idx = np.argmin(total, axis=1)    # ties -> smallest x'
+        best = total[xs.astype(np.int64), idx]
+        out[y] = np.where(
+            best >= no_target, -1.0, ry[y][idx] * w + xs[idx]
+        )
+    return out
+
+
+def distance_allocation(mask_tr: TileRaster) -> TileRaster:
+    """Euclidean allocation: each pixel gets the LINEAR ID (gy*rw + gx)
+    of its nearest nonzero pixel of ``mask_tr`` (-1 when the raster
+    has no target at all) — proximity/Voronoi zones, service-area
+    assignment, nearest-station maps.
+
+    Same two transposed strip shuffles as :func:`distance_transform`;
+    the vertical pass carries (distance, nearest-row) packed exactly
+    into one float64 plane.  The tie rule is deterministic and
+    documented — lexicographic (squared distance, target column,
+    target row) — so an independent relational oracle can reproduce
+    the assignment bit-for-bit (queries.py ``allocation_grid``).
+    Dense inner kernel only (see the module docstring for widths)."""
+    vert = _strip_pass(mask_tr, "col", lambda s: _vertical_scan_argmin(s != 0))
+    return _strip_pass(vert, "row", _alloc_rows_dense)

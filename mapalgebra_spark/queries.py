@@ -2303,6 +2303,47 @@ GROUP BY g.gy, g.gx
 # ---------------------------------------------------------------------------
 
 
+def q_allocation(spark, sf_dir):
+    """Euclidean allocation (distance_transform's companion): every
+    cell gets its nearest target cell's coordinates, deterministic tie
+    rule lexicographic (d^2, target column, target row).  The oracle
+    replays the rule with an exact packed BIGINT key min —
+    d2 * 2^24 + tx * 2^12 + ty — a completely different mechanism from
+    the engine's separable argmin strips."""
+    from .operators.distance import distance_allocation
+
+    g, G = grid_df(spark, sf_dir)
+    gm = g.withColumn(
+        "tgt",
+        ((F.col("ival") == 3) & (F.col("ival2") == 3)).cast("double"),
+    )
+    alloc = distance_allocation(grid_to_tiles(gm, G, "tgt", "float64", "a"))
+    rows = tiles_to_rows(alloc, "v")
+    v = F.col("v").cast("long")
+    return rows.select(
+        "gy", "gx",
+        F.floor(v / G).cast("int").alias("alloc_gy"),
+        (v % G).cast("int").alias("alloc_gx"),
+    )
+
+
+ORACLE["allocation_grid"] = f"""
+WITH {GRID_CTE},
+tgt AS (SELECT gy AS tyy, gx AS txx FROM grid WHERE ival = 3 AND ival2 = 3),
+win AS (
+  SELECT g.gy, g.gx,
+         min(CAST((g.gy - t.tyy)*(g.gy - t.tyy)
+                  + (g.gx - t.txx)*(g.gx - t.txx) AS BIGINT) * 16777216
+             + t.txx * 4096 + t.tyy) AS k
+  FROM grid g CROSS JOIN tgt t GROUP BY g.gy, g.gx
+)
+SELECT gy, gx,
+       CAST(k % 4096 AS INT) AS alloc_gy,
+       CAST((k % 16777216) // 4096 AS INT) AS alloc_gx
+FROM win
+"""
+
+
 def q_sessionize(spark, sf_dir):
     # gap-based sessions (30-min) over the events table; epoch-seconds
     # bounds keep the compare format-independent (event_windows idiom)
@@ -2592,4 +2633,6 @@ QUERIES = {
     "ring_measures": q_ring_measures,
     # r4: categorical zonal stats (majority/minority/variety via census)
     "zonal_majority": q_zonal_majority,
+    # r4: Euclidean allocation (Voronoi assignment) vs packed-key oracle
+    "allocation_grid": q_allocation,
 }

@@ -86,3 +86,51 @@ def test_bad_inner_arg(spark):
     tr = TileRaster.from_arrays(spark, {"m": np.zeros((4, 4))}, tile_size=4)
     with pytest.raises(ValueError, match="inner"):
         distance_transform(tr, inner="nope")
+
+
+# --- distance_allocation (Euclidean / Voronoi allocation) --------------------
+
+
+def brute_force_alloc(mask):
+    """Reference with the documented tie rule: lexicographic
+    (d^2, target column x', target row y'); -1 with no targets."""
+    h, w = mask.shape
+    ty, tx = np.nonzero(mask)
+    out = np.full((h, w), -1.0)
+    if ty.size == 0:
+        return out
+    # sort targets by (x', y') so argmin's first-hit applies the tie rule
+    order = np.lexsort((ty, tx))
+    ty, tx = ty[order], tx[order]
+    yy, xx = np.mgrid[0:h, 0:w]
+    d2 = (yy[..., None] - ty) ** 2 + (xx[..., None] - tx) ** 2
+    win = d2.argmin(axis=-1)
+    return (ty[win] * w + tx[win]).astype(np.float64)
+
+
+@pytest.mark.parametrize("density", [0.001, 0.03, 0.3])
+def test_allocation_distributed_matches_reference(spark, density):
+    mask = (RNG.random((21, 26)) < density).astype(np.float64)
+    from mapalgebra_spark.operators.distance import distance_allocation
+
+    tr = TileRaster.from_arrays(spark, {"m": mask}, tile_size=8)
+    out = distance_allocation(tr).collect_array("m")
+    np.testing.assert_array_equal(out, brute_force_alloc(mask))
+
+
+def test_allocation_tie_rule_and_empty(spark):
+    from mapalgebra_spark.operators.distance import distance_allocation
+
+    # two targets equidistant from the centre pixel: (2,1) and (2,3)
+    # share d^2=1 with (1,2) and (3,2); rule picks smallest x' first ->
+    # target (2,1) = id 2*5+1
+    mask = np.zeros((5, 5))
+    for y, x in ((2, 1), (2, 3), (1, 2), (3, 2)):
+        mask[y, x] = 1.0
+    tr = TileRaster.from_arrays(spark, {"m": mask}, tile_size=4)
+    out = distance_allocation(tr).collect_array("m")
+    assert out[2, 2] == 2 * 5 + 1
+    np.testing.assert_array_equal(out, brute_force_alloc(mask))
+    # empty mask: all -1
+    tr0 = TileRaster.from_arrays(spark, {"m": np.zeros((6, 6))}, tile_size=4)
+    assert (distance_allocation(tr0).collect_array("m") == -1.0).all()
