@@ -18,12 +18,15 @@ exchange):
    (``spark.range``): for each output tile, inverse-project all its
    pixel centers (vectorized) and emit the integer source-pixel bbox it
    needs (floor/+2 so both bilinear neighbours are covered).
-2. **ship** — source tiles join the request table on bbox intersection
-   and emit the intersecting sub-blocks, addressed by absolute source
-   offsets.  (At 10^12 scale this range join is banded: monotone
-   projections keep an output tile's source rows contiguous, so
-   bucketing both sides by coarse source-row bands turns it into an
-   equi-join — documented here, unnecessary at test scale.)
+2. **ship** — each request row is EXPANDED to the exact source tile
+   keys its bbox intersects (a few rows per output tile — the bbox of
+   a tile-sized output block under a monotone projection is contiguous
+   and tile-sized up to the scale ratio), and source tiles EQUI-join
+   the expanded requests on (ty, tx).  No inequality predicates, no
+   BroadcastNestedLoopJoin: Catalyst plans a hash/sort-merge join that
+   shuffles on the tile key, so at 10^12 scale cost is
+   O(src_tiles + out_tiles x coverage), never O(src x out)
+   (plan asserted in tests/test_scale_plans.py).
 3. **assemble** — group by output tile, mosaic the received sub-blocks
    into a patch, and run the SAME pure sampling kernel the oracle uses
    (``inverse_sample``), so tiled output is bit-identical to
@@ -150,8 +153,9 @@ def reproject_raster(
     nty = (dst_h + tile_size - 1) // tile_size
     ntx = (dst_w + tile_size - 1) // tile_size
 
-    # --- stage 1: per-output-tile source bboxes (distributed) -------------
-    req_schema = "oty int, otx int, ry0 int, ry1 int, rx0 int, rx1 int"
+    # --- stage 1: per-output-tile source bboxes, EXPANDED to the exact
+    # source tile keys they intersect (distributed) ------------------------
+    req_schema = "ty int, tx int, oty int, otx int, ry0 int, ry1 int, rx0 int, rx1 int"
 
     def requests(batches):
         for pdf in batches:
@@ -166,7 +170,14 @@ def reproject_raster(
                     src_crs, dst_crs,
                 )
                 ry0, ry1, rx0, rx1 = _needed_bbox(fr, fc, src_h, src_w)
-                rows.append(dict(oty=oty, otx=otx, ry0=ry0, ry1=ry1, rx0=rx0, rx1=rx1))
+                # exact source tile cover of the bbox — turns the ship
+                # stage into a plain equi-join on (ty, tx)
+                for sty in range(max(ry0, 0) // tile_pitch, (ry1 - 1) // tile_pitch + 1):
+                    for stx in range(max(rx0, 0) // tile_pitch, (rx1 - 1) // tile_pitch + 1):
+                        rows.append(dict(
+                            ty=sty, tx=stx, oty=oty, otx=otx,
+                            ry0=ry0, ry1=ry1, rx0=rx0, rx1=rx1,
+                        ))
             yield pd.DataFrame(rows)
 
     n_out = nty * ntx
@@ -175,17 +186,12 @@ def reproject_raster(
     )
 
     # --- stage 2: ship intersecting sub-blocks ----------------------------
-    # (range join; banded-bucket equi-join at scale — module docstring)
-    joined = src.join(
-        F.broadcast(reqs),
-        on=[
-            F.col("ry0") < (F.col("ty") * tile_pitch + F.col("h")),
-            F.col("ry1") > F.col("ty") * tile_pitch,
-            F.col("rx0") < (F.col("tx") * tile_pitch + F.col("w")),
-            F.col("rx1") > F.col("tx") * tile_pitch,
-        ],
-        how="inner",
-    )
+    # equi-join on the source tile key (module docstring) — the request
+    # side is usually dimension-sized per output tile but we do NOT
+    # broadcast-hint it: with equality keys Catalyst/AQE picks a hash or
+    # sort-merge join that shuffles on (ty, tx) and scales to any ratio
+    # of source to output tiles.
+    joined = src.join(reqs, on=["ty", "tx"], how="inner")
 
     ship_schema = (
         "raster_id string, band int, oty int, otx int,"

@@ -289,3 +289,34 @@ def test_pyramid_single_exchange_quarter_tiles(spark):
     out = P.downsample2(tr)
     plan = plan_of(out.df)
     assert plan.count("Exchange") == 1, plan
+
+
+def test_reproject_raster_equi_join_no_bnlj(spark):
+    """The reproject ship stage must be an EQUI-join of source tiles to
+    tile-key-expanded requests (r4 verdict item 1) — never the
+    O(src_tiles x out_tiles) BroadcastNestedLoopJoin the 4-inequality
+    range-join form produced."""
+    from mapalgebra_spark import projections as PJ
+    from mapalgebra_spark.operators import reproject as RP
+
+    rng = np.random.default_rng(7)
+    src = rng.normal(size=(48, 56)) * 10 + 50
+    tr = TileRaster.from_arrays(spark, {"r": src}, tile_size=16)
+    bounds = (-20.0, -10.0, 20.0, 30.0)
+    x0, y0 = PJ.reproject_np(PJ.LATLNG, PJ.WEBMERCATOR, bounds[0], bounds[1])
+    x1, y1 = PJ.reproject_np(PJ.LATLNG, PJ.WEBMERCATOR, bounds[2], bounds[3])
+    out = RP.reproject_raster(
+        spark, tr, PJ.LATLNG, PJ.WEBMERCATOR, bounds,
+        (float(x0), float(y0), float(x1), float(y1)), 40, 50,
+        tile_size=16, tile_pitch=16,
+    )
+    plan = plan_of(out.df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # and the join still produces the oracle-exact result
+    got = out.collect_array("r@webmercator")
+    ref = RP.reproject_raster_np(
+        src, PJ.LATLNG, PJ.WEBMERCATOR, bounds,
+        (float(x0), float(y0), float(x1), float(y1)), 40, 50,
+    )
+    np.testing.assert_array_equal(got, ref)
