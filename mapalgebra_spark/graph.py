@@ -166,11 +166,22 @@ def connected_components(
         # aggregate materializes the checkpointed round output
         nxt = _truncate(_small_star(_large_star(e)), eager=False)
         nd = _edge_digest(nxt)
+        # digest equality is probabilistic (count + xor of xxhash64;
+        # ~2^-64 collision odds per round).  Confirm the actual edge
+        # sets are equal ONCE before declaring the fixpoint (r4
+        # advice) — a collision would otherwise silently return a
+        # half-contracted labelling.  Runs only on digest equality,
+        # so the per-round cost is unchanged.
+        done = (
+            nd == digest
+            and nxt.exceptAll(e).isEmpty()
+            and e.exceptAll(nxt).isEmpty()
+        )
         if e is not e0:  # e0 feeds `nodes` until the caller materializes
             e.unpersist(False)
         e, prev = nxt, digest
         digest = nd
-        if digest == prev:
+        if done:
             break
     else:
         raise RuntimeError(

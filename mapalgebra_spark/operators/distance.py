@@ -207,11 +207,16 @@ def buffer_mask(mask_tr: TileRaster, radius: float, inner: str = "dense") -> Til
 # Euclidean allocation (Voronoi assignment) — EDT's canonical companion
 # ---------------------------------------------------------------------------
 
-#: sentinel vertical distance for target-less columns: real per-axis
-#: distances are < 2^24 (raster dims up to ~16M px), so a sentinel
-#: total of 2^48 can never collide with a real squared distance
-#: (< 2^41 at 2^20-px dims) and packs exactly in float64
+#: sentinel vertical distance for target-less columns.  The no-target
+#: sentinel TOTAL is _BIG_D^2 = 2^48; a real squared distance
+#: (rh-1)^2 + (rw-1)^2 stays strictly below it only while both axes
+#: are < 2^23 px (then d^2 < 2*(2^23)^2 = 2^47 < 2^48, and every
+#: intermediate integer stays exact in float64).  Both scan kernels
+#: fail fast past that bound (r4 advice: the old comment claimed
+#: ~16M-px axes were safe, but d^2 reaches 2^48 once an axis nears
+#: 2^23.5 px and far pixels would misreport as "no target").
 _BIG_D = float(2 ** 24)
+_AXIS_LIMIT = 1 << 23  # provable headroom: axes below 2^23 px
 _PACK = float(2 ** 25)  # dv * _PACK + row: dv <= 2^24, row < 2^24
 
 
@@ -220,6 +225,11 @@ def _vertical_scan_argmin(mask: np.ndarray) -> np.ndarray:
     nearest target IN THE COLUMN breaks up/down ties NORTH (smaller
     row).  Target-less columns carry dv = _BIG_D, row = 0."""
     h, w = mask.shape
+    if h >= _AXIS_LIMIT:
+        raise ValueError(
+            f"distance_allocation: raster height {h} >= 2^23 px would "
+            "collide real squared distances with the no-target sentinel"
+        )
     da = np.empty((h, w)); ra = np.empty((h, w))
     db = np.empty((h, w)); rb = np.empty((h, w))
     run = np.full(w, _BIG_D); row = np.zeros(w)
@@ -247,6 +257,11 @@ def _alloc_rows_dense(packed: np.ndarray) -> np.ndarray:
     target column x' (np.argmin first-hit), then the column's
     northern tie choice — i.e. lexicographic (d^2, x', y')."""
     h, w = packed.shape
+    if w >= _AXIS_LIMIT:
+        raise ValueError(
+            f"distance_allocation: raster width {w} >= 2^23 px would "
+            "collide real squared distances with the no-target sentinel"
+        )
     dv = np.floor(packed / _PACK)
     ry = packed - dv * _PACK
     f = dv * dv                  # exact: integers < 2^48

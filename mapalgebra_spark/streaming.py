@@ -534,6 +534,11 @@ def sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
         F.min("ep").alias("session_start"),
         F.max("ep").alias("session_end"),
         F.count("*").alias("n_events"),
+        # 6dp rounding of a float sum whose addend ORDER differs from
+        # the oracle's is hash-stable only while no session's sum sits
+        # within an ulp of a 5e-7 boundary (r4 advice — holds for the
+        # fixture's limited-precision values; if it ever flakes, widen
+        # the rounding or compare an integer-scaled column instead)
         F.round(F.sum("value"), 6).alias("total_value"),
     )
 
