@@ -691,6 +691,10 @@ def knn_cells_diagnostics(spark, sf_dir):
     try:
         return {
             "queries": qs.count(),
+            # escalated = stragglers of the first ring that retried at
+            # a wider ring; fallbacks = what still brute-forced after
+            # escalation (r4 verdict item 6 target: < 1%)
+            "escalated": stats["bad_stage1"].count(),
             "fallbacks": stats["bad"].count(),
             "ring_candidate_rows": stats["candidates"].count(),
         }

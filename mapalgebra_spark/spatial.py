@@ -276,113 +276,139 @@ def knn_cells(
     level: int = 6,
     max_ring: int = 8,
     stats: dict | None = None,
+    escalations: tuple = ("wrap",),
 ) -> DataFrame:
     """Cell-pruned kNN: candidates limited to expanding Chebyshev rings
     of cells around each query, with a correctness check — a query's
     result is only accepted once its kth distance is ≤ the minimum
-    possible distance of the first unexplored ring; stragglers fall back
-    to brute force.  At scale this turns a full cross join into a few
-    ring-local joins."""
+    possible distance of the first unexplored ring.  Stragglers first
+    ESCALATE to wider rings and only then fall back to brute force (r4
+    verdict item 6: 6.8% of sf0.1 queries fell straight to brute
+    force).  Each ``escalations`` entry is an integer multiplier of
+    ``max_ring`` or the string ``"wrap"`` — the ring ``2^(level-1)``
+    that covers every longitude of the query's latitude band, which is
+    the ONLY width whose acceptance bound survives near the poles
+    (cos(phi_max) → 0 zeroes the longitude bound leg for any narrower
+    ring, so polar stragglers would re-fail forever).  At scale this
+    turns a full cross join into a few ring-local joins; each
+    escalation stage sees only the previous stage's stragglers, and
+    AQE's empty-relation propagation elides unused stages at
+    runtime."""
+    from pyspark.sql import Window
+
     from .cacheutil import attach_bases
 
     pts = with_cell(points, level).persist()
     qs = with_cell(queries, level, out="qcell").select(
         "query_id", F.col("lat").alias("qlat"), F.col("lng").alias("qlng"), "qcell"
     )
-
-    # expand each query to its ring-<=max_ring cells (driver-free)
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def ring_udf(cells: pd.Series) -> pd.Series:
-        return cells.map(lambda c: [int(x) for x in CI.cell_ring(int(c), max_ring)])
-
-    cand = (
-        qs.withColumn("cells", ring_udf(F.col("qcell")))
-        .withColumn("cell_id", F.explode("cells"))
-        .drop("cells")
-        .join(pts, on="cell_id", how="inner")
-        .withColumn(
-            "dist_km", haversine_col(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng"))
-        )
-    )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(F.col("dist_km").asc(), F.col("point_id").asc())
-    topk = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "point_id", "rank", "dist_km")
-    )
-    # guarantee bound: a point OUTSIDE the Chebyshev ring is either
-    # (a) beyond it in LATITUDE — separation >= (max_ring-1) lat-cells,
-    #     distance >= that many degrees x 111 km (111.0 < the true
-    #     111.19 km/deg meridian arc, so a valid lower bound), or
-    # (b) beyond it in LONGITUDE with latitude inside the ring band —
-    #     lng separation >= (max_ring-1) lng-cells, and with both
-    #     endpoint latitudes within |qlat| + max_ring lat-cells the
-    #     haversine term cos(p1)cos(p2) >= cos^2(phi_max), giving the
-    #     EXACT pure-longitude haversine at phi_max as a lower bound:
-    #     2R asin(cos(phi_max) sin(gap/2)).
-    # The acceptance bound is the min of the two legs, PER QUERY (the
-    # r3 review found the old latitude-only constant unsound: at
-    # |lat| ~ 85 deg the ring's longitudinal reach shrinks by cos(lat)
-    # and a far-longitude point could undercut an accepted kth).
-    # Queries whose kth exceeds the bound fall back to brute force —
-    # near the poles cos(phi_max) -> 0 forces the fallback, which the
-    # latitude clamping of cell_ring also demands.
-    cell_lat = 180.0 / (1 << level)
-    cell_lng = 360.0 / (1 << level)
-    b_lat = (max_ring - 1) * cell_lat * 111.0
-    if (2 * max_ring + 1) * cell_lng >= 360.0:
-        # the ring wraps the whole parallel: no point is outside-in-lng
-        bound_col = F.lit(b_lat)
-    else:
-        import math
 
-        half_gap = math.radians((max_ring - 1) * cell_lng) / 2.0
-        phi_max = F.least(
-            F.lit(90.0), F.abs(F.col("qlat")) + max_ring * cell_lat
-        )
-        b_lng = (
-            2.0
-            * CI.EARTH_RADIUS_KM
-            * F.asin(
-                F.greatest(F.lit(0.0), F.cos(F.radians(phi_max)))
-                * F.lit(math.sin(half_gap))
+    def stage(qdf: DataFrame, ring: int):
+        """One ring-limited pass over ``qdf``: returns (persisted topk,
+        candidate frame, bad query_ids that failed the acceptance
+        bound at this ring width)."""
+
+        # expand each query to its ring-<=ring cells (driver-free)
+        @F.pandas_udf(T.ArrayType(T.LongType()))
+        def ring_udf(cells: pd.Series) -> pd.Series:
+            return cells.map(lambda c: [int(x) for x in CI.cell_ring(int(c), ring)])
+
+        cand = (
+            qdf.withColumn("cells", ring_udf(F.col("qcell")))
+            .withColumn("cell_id", F.explode("cells"))
+            .drop("cells")
+            .join(pts, on="cell_id", how="inner")
+            .withColumn(
+                "dist_km",
+                haversine_col(F.col("lat"), F.col("lng"), F.col("qlat"), F.col("qlng")),
             )
         )
-        bound_col = F.least(F.lit(b_lat), b_lng)
-    # ONE lazy plan, no driver-side action: topk is persisted (lazily)
-    # and reused by all three branches; queries that fail the bound
-    # anti-join out of `good` and re-enter via brute force.  When no
-    # query fails, the fallback's broadcast side is empty and AQE's
-    # empty-relation propagation elides the scan at runtime — the
-    # 100 TB path never pays for a fallback it doesn't take.
-    topk = topk.persist()
-    per_q = topk.groupBy("query_id").agg(
-        F.count("*").alias("found"), F.max("dist_km").alias("kth")
-    )
-    # LEFT join from the query table, not from per_q: a query whose
-    # ring-limited candidate set is EMPTY has no topk rows at all, so
-    # an inner join from per_q would silently drop it from both `good`
-    # and `bad` (r3 advice).  coalesce(found,0) < k routes such
-    # queries to the brute-force fallback like any other straggler.
-    # per_q (≤ one row per query) is the broadcast side — as the
-    # non-preserved right side of a left join that is legal, and it
-    # keeps the plan join-stats-independent (per_q derives from a
-    # window over mapInPandas output, which Spark cannot size).
-    per_q = qs.select("query_id", "qlat").join(
-        F.broadcast(per_q), on="query_id", how="left"
-    )
-    bad = per_q.filter(
-        (F.coalesce(F.col("found"), F.lit(0)) < k) | (F.col("kth") > bound_col)
-    ).select("query_id")
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "point_id", "rank", "dist_km")
+        )
+        # guarantee bound: a point OUTSIDE the Chebyshev ring is either
+        # (a) beyond it in LATITUDE — separation >= (ring-1) lat-cells,
+        #     distance >= that many degrees x 111 km (111.0 < the true
+        #     111.19 km/deg meridian arc, so a valid lower bound), or
+        # (b) beyond it in LONGITUDE with latitude inside the ring band
+        #     — lng separation >= (ring-1) lng-cells, and with both
+        #     endpoint latitudes within |qlat| + ring lat-cells the
+        #     haversine term cos(p1)cos(p2) >= cos^2(phi_max), giving
+        #     the EXACT pure-longitude haversine at phi_max as a lower
+        #     bound: 2R asin(cos(phi_max) sin(gap/2)).
+        # The acceptance bound is the min of the two legs, PER QUERY
+        # (the r3 review found the old latitude-only constant unsound:
+        # at |lat| ~ 85 deg the ring's longitudinal reach shrinks by
+        # cos(lat) and a far-longitude point could undercut an
+        # accepted kth).  Near the poles cos(phi_max) -> 0 forces
+        # escalation, which the latitude clamping of cell_ring also
+        # demands.
+        cell_lat = 180.0 / (1 << level)
+        cell_lng = 360.0 / (1 << level)
+        b_lat = (ring - 1) * cell_lat * 111.0
+        if (2 * ring + 1) * cell_lng >= 360.0:
+            # the ring wraps the whole parallel: nothing is outside-in-lng
+            bound_col = F.lit(b_lat)
+        else:
+            import math
+
+            half_gap = math.radians((ring - 1) * cell_lng) / 2.0
+            phi_max = F.least(F.lit(90.0), F.abs(F.col("qlat")) + ring * cell_lat)
+            b_lng = (
+                2.0
+                * CI.EARTH_RADIUS_KM
+                * F.asin(
+                    F.greatest(F.lit(0.0), F.cos(F.radians(phi_max)))
+                    * F.lit(math.sin(half_gap))
+                )
+            )
+            bound_col = F.least(F.lit(b_lat), b_lng)
+        # ONE lazy plan, no driver-side action: topk is persisted
+        # (lazily) and reused by the good/bad branches.
+        topk = topk.persist()
+        per_q = topk.groupBy("query_id").agg(
+            F.count("*").alias("found"), F.max("dist_km").alias("kth")
+        )
+        # LEFT join from the query table, not from per_q: a query whose
+        # ring-limited candidate set is EMPTY has no topk rows at all,
+        # so an inner join from per_q would silently drop it from both
+        # `good` and `bad` (r3 advice).  coalesce(found,0) < k routes
+        # such queries to escalation like any other straggler.  per_q
+        # (≤ one row per query) is the broadcast side — legal as the
+        # non-preserved right side of a left join, and it keeps the
+        # plan join-stats-independent (per_q derives from a window over
+        # mapInPandas output, which Spark cannot size).
+        per_q = qdf.select("query_id", "qlat").join(
+            F.broadcast(per_q), on="query_id", how="left"
+        )
+        bad = per_q.filter(
+            (F.coalesce(F.col("found"), F.lit(0)) < k) | (F.col("kth") > bound_col)
+        ).select("query_id")
+        return topk, cand, bad
+
+    rings = [max_ring]
+    for m in escalations:
+        r = (1 << (level - 1)) if m == "wrap" else max_ring * int(m)
+        if r > rings[-1]:
+            rings.append(r)
+    goods, bases, cur_qs, bad = [], [pts], qs, None
+    for i, ring in enumerate(rings):
+        topk, cand, bad = stage(cur_qs, ring)
+        bases.append(topk)
+        if stats is not None and i == 0:
+            # LAZY diagnostic handles (count them outside any timed
+            # region): the first-stage ring join's candidate volume and
+            # its straggler set (r3 verdict item 6)
+            stats["candidates"] = cand
+            stats["bad_stage1"] = bad
+        goods.append(topk.join(F.broadcast(bad), on="query_id", how="left_anti"))
+        cur_qs = cur_qs.join(F.broadcast(bad), on="query_id", how="inner")
     if stats is not None:
-        # LAZY diagnostic handles (count them outside any timed region):
-        # how many queries took the brute-force fallback, and the ring
-        # join's candidate volume — the two numbers that explain this
-        # query's cost profile at a given sf (r3 verdict item 6)
+        # final stragglers = the queries that actually brute-force
         stats["bad"] = bad
-        stats["candidates"] = cand
     # partial=False: the straggler set is tiny (usually empty) and the
     # partial path's driver-side query collect would break this plan's
     # laziness — the literal window plan stays one lazy subtree that
@@ -391,8 +417,10 @@ def knn_cells(
         queries.join(F.broadcast(bad), on="query_id", how="inner"), points, k,
         partial=False,
     )
-    good = topk.join(F.broadcast(bad), on="query_id", how="left_anti")
-    return attach_bases(good.unionByName(fallback), [pts, topk])
+    out = goods[0]
+    for g in goods[1:]:
+        out = out.unionByName(g)
+    return attach_bases(out.unionByName(fallback), bases)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,67 @@
+"""Round-5 verdict/advice fixes:
+
+- knn_cells ring ESCALATION resolves polar stragglers without brute
+  force (r4 verdict item 6) — near the poles cos(phi_max) -> 0 zeroes
+  the longitude bound leg of any narrow ring, so only the
+  parallel-wrapping ring can accept them,
+- distance_allocation fails fast past the sentinel-safe axis bound
+  (r4 advice item 1),
+- connected_components confirms its digest fixpoint with an exact set
+  compare (r4 advice item 2) — still converges, still exact.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.spark
+
+
+def test_knn_cells_polar_stragglers_escalate_not_bruteforce(spark):
+    """Queries at |lat| > 75 deg fail the first ring's acceptance bound
+    (cos(phi_max) ~ 0), but the wrap-ring escalation stage must accept
+    them: final fallback set EMPTY, results still exactly brute force."""
+    from mapalgebra_spark import spatial as SP
+
+    pts = spark.range(400).select(
+        F.col("id").cast("string").alias("point_id"),
+        ((F.col("id") * 37 % 1700) / 10.0 - 85.0).alias("lat"),
+        ((F.col("id") * 73 % 3590) / 10.0 - 179.5).alias("lng"),
+    )
+    qs = spark.range(8).select(
+        F.col("id").cast("string").alias("query_id"),
+        (F.lit(82.0) + F.col("id") * 0.5).alias("lat"),
+        (F.col("id") * 40.0 - 160.0).alias("lng"),
+    )
+    stats = {}
+    out = SP.knn_cells(spark, qs, pts, k=3, level=6, max_ring=4, stats=stats)
+    got = {(r["query_id"], r["point_id"], r["rank"]) for r in out.collect()}
+    assert stats["bad_stage1"].count() > 0, "polar queries should fail ring 1"
+    assert stats["bad"].count() == 0, "wrap escalation should resolve them"
+    exact = {(r["query_id"], r["point_id"], r["rank"])
+             for r in SP.knn_bruteforce(qs, pts, k=3).collect()}
+    assert got == exact
+
+
+def test_distance_allocation_axis_bound_fail_fast():
+    from mapalgebra_spark.operators.distance import (
+        _AXIS_LIMIT, _alloc_rows_dense, _vertical_scan_argmin,
+    )
+
+    with pytest.raises(ValueError, match="2\\^23"):
+        _vertical_scan_argmin(np.zeros((_AXIS_LIMIT, 1), dtype=bool))
+    with pytest.raises(ValueError, match="2\\^23"):
+        _alloc_rows_dense(np.zeros((1, _AXIS_LIMIT)))
+
+
+def test_connected_components_confirmed_fixpoint(spark):
+    """The confirming exceptAll pass must not change results: a chain
+    plus a triangle still labels every node with its component min."""
+    from mapalgebra_spark import graph as G
+
+    edges = [(i, i + 1) for i in range(0, 20)] + [(100, 101), (101, 102), (102, 100)]
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = {(r["id"], r["component"]) for r in G.connected_components(df).collect()}
+    exp = {(i, 0) for i in range(21)} | {(i, 100) for i in (100, 101, 102)}
+    assert got == exp
