@@ -74,6 +74,54 @@ SCALE_HIGH = int(os.environ.get("SPARK_GRAFT_SCALE_HIGH", "8"))
 HEADLINE_CORES = int(os.environ.get("SPARK_GRAFT_HEADLINE_CORES", str(CPUS)))
 
 
+#: external-interference threshold: a rep is FLAGGED when hypervisor
+#: steal exceeded this fraction of the rep's total cpu-time budget
+#: (this host shows minutes-long external steal bursts that inflate
+#: timings 2-6x — r4 verdict item 5: artifacts must be noise-
+#: classifiable, so every rep carries its own host-load evidence)
+STEAL_FLAG_FRAC = float(os.environ.get("SPARK_GRAFT_STEAL_FLAG", "0.05"))
+_CLK = os.sysconf("SC_CLK_TCK")
+
+
+def _host_probe() -> tuple[float, int | None]:
+    """(1-min loadavg, cumulative steal ticks from /proc/stat)."""
+    try:
+        with open("/proc/loadavg") as f:
+            load1 = float(f.read().split()[0])
+    except Exception:
+        load1 = -1.0
+    steal = None
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts and parts[0] == "cpu" and len(parts) > 8:
+            steal = int(parts[8])
+    except Exception:
+        pass
+    return load1, steal
+
+
+def timed_rep(fn) -> dict:
+    """Run ``fn`` once and attach host-load evidence: loadavg before
+    (NOTE: includes our own runnable threads, so it is disclosure, not
+    the flag), and the hypervisor STEAL fraction measured ACROSS the
+    rep — the actual external-interference signal on this host."""
+    load1, s0 = _host_probe()
+    t0 = time.perf_counter()
+    fn()
+    dt = time.perf_counter() - t0
+    _, s1 = _host_probe()
+    steal_frac = None
+    if s0 is not None and s1 is not None and dt > 0:
+        steal_frac = (s1 - s0) / (_CLK * dt * (os.cpu_count() or 1))
+    return {
+        "sec": round(dt, 3),
+        "load1_before": round(load1, 2),
+        "steal_frac": round(steal_frac, 4) if steal_frac is not None else None,
+        "flagged": bool(steal_frac is not None and steal_frac > STEAL_FLAG_FRAC),
+    }
+
+
 def ensure_images(n: int) -> str:
     """Materialize the deterministic image table once (n 512x512-ish
     images; SF=0.1-style sample). Generation cost excluded from timing."""
@@ -250,18 +298,27 @@ def run_flagship(
         got = one_job(sink)  # full untimed warm pass (workers, JIT, shuffle)
         assert got == n_tiles, (got, n_tiles)
 
-        best = None
-        all_secs = []
+        res = {}
+
+        def run_once():
+            res["got"] = one_job(sink)
+
+        recs = []
         for _ in range(runs):
-            t0 = time.perf_counter()
-            got = one_job(sink)
-            dt = time.perf_counter() - t0
-            assert got == n_tiles, (got, n_tiles)
-            all_secs.append(round(dt, 3))
-            best = dt if best is None else min(best, dt)
+            recs.append(timed_rep(run_once))
+            assert res["got"] == n_tiles, (res["got"], n_tiles)
+        if all(r["flagged"] for r in recs):
+            # whole leg ran inside a steal burst: one retry run (the
+            # flagged originals stay in the artifact as evidence)
+            rr = timed_rep(run_once)
+            rr["retry"] = True
+            recs.append(rr)
+        clean = [r["sec"] for r in recs if not r["flagged"]]
+        best = min(clean or [r["sec"] for r in recs])
         return {
             "cores": cores, "pin": pin, "sink": sink, "tiles": n_tiles,
-            "sec": best, "secs": all_secs, "tps": n_tiles / best,
+            "sec": best, "secs": [r["sec"] for r in recs],
+            "host": recs, "tps": n_tiles / best,
             "execs": execs, "halo": halo,
         }
     finally:
@@ -386,7 +443,53 @@ def paired_width32(img_path: str) -> dict:
                      F.sum("sum_fgradient")).collect()[0]
         assert row["n"] == n_tiles
 
+    # ---- the measured Arrow-hop-plus-kernel BOUND (r4 verdict item 3)
+    # same decode + cast + pad + kernels over the same table via the
+    # same mapInArrow hop, but NO halo machinery at all (numerically
+    # wrong at tile seams — a floor, not a result).  The engine cannot
+    # beat this without leaving Python kernels; "engine within 10% of
+    # it" proves the residual vs the bare numpy pool is the
+    # JVM->Python boundary itself, not engine overhead.
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from mapalgebra_spark import kernels as K
+    from mapalgebra_spark.tiles import decode_block
+
+    floor_schema = T.StructType([T.StructField("s", T.DoubleType())])
+    floor_src = src.select("tile", "dtype", "h", "w", "planes")
+
+    def floor_run(batches):
+        for batch in batches:
+            acc = 0.0
+            dcol = batch.column("dtype").to_pylist()
+            tcol = batch.column("tile")
+            hs = batch.column("h").to_numpy(zero_copy_only=False)
+            ws = batch.column("w").to_numpy(zero_copy_only=False)
+            ps = batch.column("planes").to_numpy(zero_copy_only=False)
+            for r in range(batch.num_rows):
+                core = decode_block(tcol[r].as_py(), dcol[r], int(hs[r]),
+                                    int(ws[r]), int(ps[r]))
+                p = np.pad(core.astype(np.float32), 1, mode="reflect")
+                acc += float(K.k_fmean(p).sum(dtype=np.float64))
+                acc += float(K.k_gradient(p).sum(dtype=np.float64))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc], type=pa.float64())], ["s"])
+
+    def floor_once():
+        floor_src.mapInArrow(floor_run, floor_schema).agg(F.sum("s")).collect()
+
+    def floor_leg():
+        f_secs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            floor_once()
+            f_secs.append(round(time.perf_counter() - t0, 3))
+        return f_secs
+
     engine_once()  # warm (workers, JIT, codegen)
+    floor_once()
     pairs = []
 
     def engine_leg():
@@ -411,13 +514,20 @@ def paired_width32(img_path: str) -> dict:
                 hw = hw_baseline((cores,), tiles_per_proc=1200).get(cores)
             if hw is None:
                 continue
+            # the hop+kernel bound, measured INSIDE the same round's
+            # window so it shares the round's thermal/steal state
+            f_secs = floor_leg()
             etps = n_tiles / min(e_secs)
             pairs.append({
                 "order": "hw-first" if i % 2 == 0 else "engine-first",
                 "hw_tps": round(hw, 1),
                 "engine_tps": round(etps, 1),
                 "engine_secs": e_secs,
+                "floor_secs": f_secs,
                 "ratio": round(etps * eq_factor / hw, 3),
+                # engine time over the measured hop+kernel bound;
+                # <= 1.10 = the engine is within 10% of the floor
+                "over_floor": round(min(e_secs) / min(f_secs), 3),
             })
             time.sleep(cool)
     finally:
@@ -433,6 +543,9 @@ def paired_width32(img_path: str) -> dict:
         "pairs": pairs,
         "median_ratio": round(
             statistics.median(p["ratio"] for p in pairs), 3
+        ) if pairs else None,
+        "median_over_floor": round(
+            statistics.median(p["over_floor"] for p in pairs), 3
         ) if pairs else None,
     }
 
@@ -459,8 +572,12 @@ def run_queries(sf_dir: str):
     Each query runs ``SPARK_GRAFT_QUERY_REPS`` times (default 3); the
     reported number is the MEDIAN and every rep is published alongside
     (r3 verdict item 4: single-shot timings on a host with 20-40%
-    noise bursts could not distinguish regression from noise).
-    Returns (median_times, all_reps, grid_build_sec, knn_diag).
+    noise bursts could not distinguish regression from noise).  Every
+    rep also carries host-load evidence (loadavg before + hypervisor
+    steal fraction across the rep); steal-flagged reps are retried
+    once and excluded from the median, with the originals disclosed
+    (r4 verdict item 5).
+    Returns (median_times, all_reps, grid_build_sec, knn_diag, host).
 
     The shared lineitem→grid build (a distributed bucketed rank —
     gridq.py docstring; the 100 TB hot path is the image/tile
@@ -507,17 +624,32 @@ def run_queries(sf_dir: str):
             _drop_caches(spark, grid_cache)
         reps = int(os.environ.get("SPARK_GRAFT_QUERY_REPS", "3"))
         spreads: dict[str, list[float]] = {}
+        host: dict[str, list[dict]] = {}
         for name in sorted(qs):
-            rts = []
+            q = qs[name]
+
+            def run_once():
+                q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+            recs = []
             for _ in range(reps):
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                rts.append(round(time.perf_counter() - t0, 3))
+                r = timed_rep(run_once)
                 # drop operator caches between runs so they can't
                 # pollute later timings; keep only the pre-built grid
                 _drop_caches(spark, grid_cache)
-            times[name] = round(statistics.median(rts), 3)
-            spreads[name] = rts
+                recs.append(r)
+            # rerun each FLAGGED rep once (r4 verdict item 5): a steal
+            # burst must not survive as a phantom regression; the
+            # flagged original stays in the artifact as evidence
+            for r in [x for x in recs if x["flagged"]]:
+                rr = timed_rep(run_once)
+                rr["retry"] = True
+                _drop_caches(spark, grid_cache)
+                recs.append(rr)
+            clean = [x["sec"] for x in recs if not x["flagged"]]
+            times[name] = round(statistics.median(clean or [x["sec"] for x in recs]), 3)
+            spreads[name] = [x["sec"] for x in recs]
+            host[name] = recs
         # untimed scale diagnostics for the costliest spatial query
         # (r3 verdict item 6): fallback count attributes a slow
         # knn_cells run to ring-bound trips vs host noise
@@ -531,7 +663,7 @@ def run_queries(sf_dir: str):
         _drop_caches(spark, grid_cache)
     finally:
         spark.stop()
-    return times, spreads, grid_build, knn_diag
+    return times, spreads, grid_build, knn_diag, host
 
 
 def main():
@@ -699,7 +831,7 @@ def main():
             raise RuntimeError("headline leg failed and no scaling legs ran")
         full = dict(max((r[1] for r in rounds), key=lambda r: r["tps"]))
 
-    qtimes, qspreads, grid_build, knn_diag = run_queries(SF_DIR)
+    qtimes, qspreads, grid_build, knn_diag, qhost = run_queries(SF_DIR)
 
     with open(os.path.join(BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write("# BENCH/BASELINE.md — measured at build time\n\n")
@@ -781,17 +913,30 @@ def main():
                 " 256^2) / numpy_tps.  Sustained all-core AVX measurably\n"
                 "depresses the leg that FOLLOWS it (frequency/thermal state\n"
                 "outlives the process), so single-order one-shot comparisons\n"
-                "are biased — the pairs below disclose the coupling:\n\n"
-                "| round | order | numpy tiles/sec | engine tiles/sec | engine secs | area-adj ratio |\n|---|---|---|---|---|---|\n"
+                "are biased — the pairs below disclose the coupling.\n"
+                "`floor secs` is the measured ARROW-HOP-PLUS-KERNEL BOUND\n"
+                "(same mapInArrow hop, same decode+cast+pad+kernels, NO\n"
+                "halo machinery — numerically wrong at seams, a floor not\n"
+                "a result), timed inside the same round's window;\n"
+                "`over floor` = engine best / floor best:\n\n"
+                "| round | order | numpy tiles/sec | engine tiles/sec | engine secs | floor secs | area-adj ratio | over floor |\n|---|---|---|---|---|---|---|---|\n"
             )
             for i, p in enumerate(pair32["pairs"]):
                 f.write(
                     f"| {i} | {p.get('order', '')} | {p['hw_tps']:.0f} | "
-                    f"{p['engine_tps']:.0f} | {p['engine_secs']} | {p['ratio']} |\n"
+                    f"{p['engine_tps']:.0f} | {p['engine_secs']} | "
+                    f"{p.get('floor_secs', '—')} | {p['ratio']} | "
+                    f"{p.get('over_floor', '—')} |\n"
                 )
             f.write(
                 f"\nMedian area-adjusted ratio: **{pair32['median_ratio']}**"
-                " (stream halo).  Ratios are only comparable WITHIN a\n"
+                f" (stream halo); median over-floor "
+                f"**{pair32.get('median_over_floor', '—')}** — at ≤ 1.10 the\n"
+                "engine is within 10% of the measured hop+kernel bound, i.e.\n"
+                "the residual vs the bare numpy pool is the JVM→Python\n"
+                "Arrow boundary plus kernel time itself, with no remaining\n"
+                "engine overhead to remove (r4 verdict item 3's alternative\n"
+                "done-criterion).  Ratios are only comparable WITHIN a\n"
                 "round: the denominator (the numpy pool itself) swings\n"
                 "~±40% across windows on this host, so same-window raw\n"
                 "tiles/sec is the cross-strategy comparison — join-halo\n"
@@ -850,12 +995,37 @@ def main():
             f"{os.environ.get('SPARK_GRAFT_QUERY_REPS', '3')} runs with every\n"
             "run disclosed (shared lineitem→grid build, a\n"
             f"harness-only cost, materialized once beforehand: "
-            f"**{grid_build}s** — not attributed to any query):\n\n"
+            f"**{grid_build}s** — not attributed to any query).\n"
+            "Every rep carries host-load evidence in BENCH_r{N}.json\n"
+            "(`query_host`: loadavg before the rep + hypervisor steal\n"
+            f"fraction across it); reps with steal > {STEAL_FLAG_FRAC:.0%}\n"
+            "are FLAGGED (marked * below), retried once, and excluded\n"
+            "from the median:\n\n"
             "| query | median sec | all runs | role |\n|---|---|---|---|\n"
         )
         for k, v in sorted(qtimes.items()):
             role = "oracle baseline (deliberately exact)" if k in BASELINE_QUERIES else ""
-            f.write(f"| {k} | {v} | {qspreads.get(k, [])} | {role} |\n")
+            runs_s = ", ".join(
+                f"{r['sec']}{'*' if r.get('flagged') else ''}{'(retry)' if r.get('retry') else ''}"
+                for r in qhost.get(k, [])
+            ) or str(qspreads.get(k, []))
+            f.write(f"| {k} | {v} | [{runs_s}] | {role} |\n")
+        flagged = [
+            (k, r) for k, recs in sorted(qhost.items()) for r in recs if r.get("flagged")
+        ]
+        if flagged:
+            k0, r0 = flagged[0]
+            f.write(
+                f"\n**{len(flagged)} rep(s) flagged for external steal** "
+                f"(e.g. {k0}: {r0['sec']}s at steal {r0['steal_frac']:.1%}, "
+                f"load1 {r0['load1_before']}) — each was retried once and "
+                "the flagged original excluded from its median.\n"
+            )
+        else:
+            f.write(
+                "\nNo rep was steal-flagged in this run (quiet window); "
+                "the per-rep host-load fields are still in the artifact.\n"
+            )
         if knn_diag:
             f.write(
                 f"\nknn_cells diagnostics at {SF_DIR} (untimed): "
@@ -899,6 +1069,8 @@ def main():
         "hw_baseline_tps": hw,
         "width32_paired": pair32,
         "query_reps": qspreads,
+        "query_host": qhost,
+        "steal_flag_frac": STEAL_FLAG_FRAC,
         "knn_cells_diag": knn_diag,
         "halo": os.environ.get("SPARK_GRAFT_HALO", "stream"),
         "grid_build_sec": grid_build,
