@@ -2498,6 +2498,107 @@ FROM r GROUP BY zone
 """
 
 
+def q_catalog_snapshots(spark, sf_dir):
+    """Iceberg-style catalog lifecycle under the oracle (r4 verdict
+    stretch 8): a two-stage resumable Job runs over ``events``, is
+    re-run (resume must SKIP both committed stages), the first stage's
+    data files are COMPACTED into a fresh snapshot (rewrite + atomic
+    commit — the Iceberg maintenance op), and the PRE-compaction
+    snapshot is read back via time travel.  One result row per stage
+    exposes the catalog state — snapshot count, ok/skipped ledger from
+    the metrics table, and row counts through the current snapshot AND
+    through time travel.  Every value is SQL-derivable: the counts
+    from ``events``, the catalog counters from the mechanism's
+    contract (1 ok run + 1 skipped run; compaction adds exactly one
+    snapshot to `filtered` and none to `by_user`; time travel sees the
+    same rows the compacted snapshot does)."""
+    import os as _os
+    import shutil
+    import tempfile
+    import uuid as _uuid
+
+    import pandas as pd
+
+    from .lineage import Job
+
+    root = tempfile.mkdtemp(prefix="catalog_q_")
+    try:
+        job = Job(spark, root, "catq")
+
+        @job.stage("filtered")
+        def filtered(spark_, _):
+            ev = spark_.read.parquet(f"{sf_dir}/events.parquet")
+            return ev.filter(F.col("value") > 50.0).select(
+                "event_id", "user_id", "value"
+            )
+
+        @job.stage("by_user", inputs=["filtered"])
+        def by_user(spark_, ins):
+            return ins["filtered"].groupBy("user_id").agg(
+                F.count("*").alias("n")
+            )
+
+        job.run(resume=True)
+        job.run(resume=True)  # every committed stage must skip
+        # snapshot compaction: rewrite the current `filtered` data into
+        # fewer files and commit as a NEW snapshot (pointer swap only
+        # after the full write — old snapshots stay readable)
+        cur = job.catalog.current_snapshot("catq.filtered")
+        first_id = job.catalog.snapshots("catq.filtered")[0]["snapshot_id"]
+        comp = _os.path.join(
+            root, "snapshots", "catq", "filtered",
+            f"snap-compact-{_uuid.uuid4().hex[:12]}",
+        )
+        cur_df = spark.read.parquet(cur["data_path"])
+        cur_df.coalesce(1).write.mode("errorifexists").parquet(comp)
+        job.catalog.commit_snapshot(
+            "catq.filtered", comp, cur_df.schema.json(), cur_df.count()
+        )
+        # time travel: the pre-compaction snapshot must still read
+        tt_rows = job.read_snapshot("filtered", first_id).count()
+        cur_rows = job.read_snapshot("filtered").count()
+        agg_rows = job.read_snapshot("by_user").count()
+        metrics = spark.read.parquet(_os.path.join(root, "metrics"))
+        led = {
+            (r["stage"], r["status"]): int(r["cnt"])
+            for r in metrics.groupBy("stage", "status")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        rows = [
+            dict(
+                stage="filtered",
+                n_snapshots=len(job.catalog.snapshots("catq.filtered")),
+                ok_runs=led.get(("filtered", "ok"), 0),
+                skipped_runs=led.get(("filtered", "skipped"), 0),
+                rows_current=int(cur_rows),
+                rows_time_travel=int(tt_rows),
+            ),
+            dict(
+                stage="by_user",
+                n_snapshots=len(job.catalog.snapshots("catq.by_user")),
+                ok_runs=led.get(("by_user", "ok"), 0),
+                skipped_runs=led.get(("by_user", "skipped"), 0),
+                rows_current=int(agg_rows),
+                rows_time_travel=int(agg_rows),
+            ),
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+ORACLE["catalog_snapshots"] = """
+WITH f AS (SELECT count(*) AS c FROM events WHERE value > 50.0),
+     u AS (SELECT count(DISTINCT user_id) AS c FROM events WHERE value > 50.0)
+SELECT 'filtered' AS stage, 2 AS n_snapshots, 1 AS ok_runs,
+       1 AS skipped_runs, (SELECT c FROM f) AS rows_current,
+       (SELECT c FROM f) AS rows_time_travel
+UNION ALL
+SELECT 'by_user', 1, 1, 1, (SELECT c FROM u), (SELECT c FROM u)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2659,4 +2760,7 @@ QUERIES = {
     "salted_join_agg": q_salted_join,
     # creation ops: distributed fromFunction round-trip
     "from_function_grid": q_from_function,
+    # r5: Iceberg-style catalog lifecycle — resumable job, snapshot
+    # compaction, time travel — under a SQL-checkable state oracle
+    "catalog_snapshots": q_catalog_snapshots,
 }
