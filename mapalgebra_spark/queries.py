@@ -2588,6 +2588,47 @@ def q_catalog_snapshots(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_asof_events(spark, sf_dir):
+    """AS-OF join under a natively independent oracle: each `click`
+    event picks up the same user's latest `purchase` value at-or-
+    before the click (streaming.asof_join — union + one per-key
+    window, no join operator).  DuckDB executes its own native
+    ``ASOF LEFT JOIN`` operator over the identical inputs — a wholly
+    different algorithm, so this is a true cross-engine check, not a
+    replay.  Timestamps compare as floor-epoch seconds (the
+    format-independent event_windows idiom); values copy bit-exact."""
+    from .streaming import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(left, right, key="user_id", ts="ts", right_cols=("value",))
+    return out.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("asof_ts").cast("timestamp_ltz").cast("double"))
+        .cast("long")
+        .alias("asof_epoch"),
+        F.col("asof_value"),
+    )
+
+
+ORACLE["asof_events"] = """
+SELECT l.event_id, l.user_id,
+       CAST(floor(epoch(r.ts)) AS BIGINT) AS asof_epoch,
+       r.value AS asof_value
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase') r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
 ORACLE["catalog_snapshots"] = """
 WITH f AS (SELECT count(*) AS c FROM events WHERE value > 50.0),
      u AS (SELECT count(DISTINCT user_id) AS c FROM events WHERE value > 50.0)
@@ -2763,4 +2804,7 @@ QUERIES = {
     # r5: Iceberg-style catalog lifecycle — resumable job, snapshot
     # compaction, time travel — under a SQL-checkable state oracle
     "catalog_snapshots": q_catalog_snapshots,
+    # r5: backward AS-OF join (point-in-time lookup) vs DuckDB's own
+    # native ASOF JOIN operator — a true cross-engine algorithm check
+    "asof_events": q_asof_events,
 }

@@ -543,6 +543,75 @@ def sessionize(events: DataFrame, gap_minutes: float = 30.0) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    right_cols: tuple = ("value",),
+    prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Backward AS-OF join — the temporal join Spark lacks natively:
+    each left row is matched to the right row with the GREATEST
+    ``ts`` <= the left row's ``ts`` for the same ``key`` (the
+    last-known-value / point-in-time lookup behind feature snapshots,
+    price marks, config-at-event-time).  Exact matches (equal
+    timestamps) match — a right row is visible at its own timestamp.
+
+    Scale shape: there is NO join operator at all.  Both sides union
+    (right rows carry a struct of their payload), ONE window partitioned
+    by ``key`` and ordered (ts, right-first-on-ties) computes the
+    running last-known-right via ``last(ignorenulls)`` — an incremental
+    running state, not a per-row scan — and left rows filter back out.
+    Cost is one shuffle on ``key`` + a per-key sort; 10^9 keys spread
+    across the cluster with no global sort.  A single pathologically
+    hot key serializes its own partition's window (inherent to ordered
+    semantics — same caveat as any per-key ordered op).
+
+    ``right`` must be unique on (key, ts) for deterministic output
+    (DuckDB's native ASOF JOIN — the oracle — has the same contract).
+    ``tolerance_seconds`` nulls the match when the left row is more
+    than that many seconds after the matched right row (pandas
+    ``merge_asof(tolerance=...)`` semantics).
+
+    Returns every left column plus ``<prefix><ts>`` (the matched right
+    timestamp, NULL when no match) and ``<prefix><c>`` for each
+    ``right_cols`` entry."""
+    from pyspark.sql import Window
+
+    lcols = left.columns
+    payload = F.struct(
+        F.col(ts).alias("__rts"), *[F.col(c) for c in right_cols]
+    )
+    r2 = right.select(
+        F.col(key), F.col(ts), payload.alias("__r"), F.lit(1).alias("__is_r")
+    )
+    l2 = left.withColumn("__r", F.lit(None).cast(r2.schema["__r"].dataType)) \
+             .withColumn("__is_r", F.lit(0))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("__is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    out = u.filter(F.col("__is_r") == 0)
+    if tolerance_seconds is not None:
+        # epoch doubles via the NTZ-safe cast (see sessionize)
+        le = F.col(ts).cast("timestamp_ltz").cast("double")
+        re_ = F.col("__m.__rts").cast("timestamp_ltz").cast("double")
+        out = out.withColumn(
+            "__m",
+            F.when(le - re_ <= float(tolerance_seconds), F.col("__m")),
+        )
+    return out.select(
+        *lcols,
+        F.col("__m.__rts").alias(f"{prefix}{ts}"),
+        *[F.col(f"__m.{c}").alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
 def stream_sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -65,3 +65,44 @@ def test_connected_components_confirmed_fixpoint(spark):
     got = {(r["id"], r["component"]) for r in G.connected_components(df).collect()}
     exp = {(i, 0) for i in range(21)} | {(i, 100) for i in (100, 101, 102)}
     assert got == exp
+
+
+def test_asof_join_vs_pandas_merge_asof(spark):
+    """asof_join must reproduce pandas merge_asof (backward,
+    allow_exact_matches) including: no-match users (NULL payload),
+    exact-timestamp matches, and the tolerance cutoff."""
+    left = pd.DataFrame({
+        "event_id": [1, 2, 3, 4, 5, 6],
+        "user_id":  [10, 10, 10, 20, 30, 20],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:05", "2024-01-01 00:10:00",
+            "2024-01-01 01:00:00", "2024-01-01 00:00:30",
+            "2024-01-01 02:00:00", "2024-01-01 00:00:01",
+        ]),
+    })
+    right = pd.DataFrame({
+        "user_id": [10, 10, 20, 40],
+        "ts": pd.to_datetime([
+            "2024-01-01 00:00:05",   # exact match for event 1
+            "2024-01-01 00:30:00",
+            "2024-01-01 00:00:10",
+            "2024-01-01 00:00:00",
+        ]),
+        "value": [1.5, 2.5, 7.0, 9.0],
+    })
+    from mapalgebra_spark.streaming import asof_join
+
+    for tol in (None, 600.0):
+        got = asof_join(
+            spark.createDataFrame(left), spark.createDataFrame(right),
+            key="user_id", ts="ts", right_cols=("value",),
+            tolerance_seconds=tol,
+        ).toPandas().sort_values("event_id").reset_index(drop=True)
+        exp = pd.merge_asof(
+            left.sort_values("ts"), right.sort_values("ts"),
+            on="ts", by="user_id", direction="backward",
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        ).sort_values("event_id").reset_index(drop=True)
+        ev = exp["value"].to_numpy(dtype=np.float64)
+        gv = got["asof_value"].to_numpy(dtype=np.float64)
+        assert ((np.isnan(ev) & np.isnan(gv)) | (ev == gv)).all(), (tol, got, exp)
