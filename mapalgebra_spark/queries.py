@@ -2629,6 +2629,43 @@ ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
 
+def q_interval_events(spark, sf_dir):
+    """Bucketed interval-containment join under the oracle: 120
+    deterministic half-open maintenance windows (5400 s every 21600 s
+    from the 2024-01-01 epoch) against every event — the engine runs
+    streaming.interval_join (interval→cell explode + equi-join; no
+    inequality join node), DuckDB runs the literal inequality join.
+    The plan must contain no BroadcastNestedLoopJoin (asserted in
+    test_scale_plans)."""
+    from .streaming import interval_join
+
+    T0 = 1704067200.0
+    iv = spark.range(120).select(
+        F.col("id").cast("int").alias("interval_id"),
+        (F.lit(T0) + F.col("id") * 21600.0).alias("w_start"),
+        (F.lit(T0) + F.col("id") * 21600.0 + 5400.0).alias("w_end"),
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        F.col("ts").cast("timestamp_ltz").cast("double").alias("ep"),
+    )
+    out = interval_join(ev, iv, "ep", "w_start", "w_end", bucket=7200.0)
+    return out.select("event_id", "interval_id")
+
+
+ORACLE["interval_events"] = """
+WITH iv AS (
+  SELECT CAST(k AS INT) AS interval_id,
+         1704067200.0 + k * 21600.0 AS s,
+         1704067200.0 + k * 21600.0 + 5400.0 AS e
+  FROM range(120) t(k)
+)
+SELECT ev.event_id, iv.interval_id
+FROM events ev JOIN iv
+  ON epoch(ev.ts) >= iv.s AND epoch(ev.ts) < iv.e
+"""
+
+
 ORACLE["catalog_snapshots"] = """
 WITH f AS (SELECT count(*) AS c FROM events WHERE value > 50.0),
      u AS (SELECT count(DISTINCT user_id) AS c FROM events WHERE value > 50.0)
@@ -2807,4 +2844,7 @@ QUERIES = {
     # r5: backward AS-OF join (point-in-time lookup) vs DuckDB's own
     # native ASOF JOIN operator — a true cross-engine algorithm check
     "asof_events": q_asof_events,
+    # r5: bucketed interval-containment join (the generic banded
+    # range-join pattern) vs the literal inequality join
+    "interval_events": q_interval_events,
 }

@@ -612,6 +612,52 @@ def asof_join(
     )
 
 
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: float = 3600.0,
+) -> DataFrame:
+    """Half-open containment join — every (point, interval) pair with
+    ``start <= value < end`` — as a bucketed EQUI-join, the generic
+    1-D form of the banded range-join pattern (reproject uses the 2-D
+    version): a naive inequality join plans as a BroadcastNestedLoop/
+    cartesian and dies at scale.
+
+    Shape: each interval EXPLODES to the ``bucket``-width cells its
+    span covers (``sequence(floor(s/b), floor(e/b))``); each point
+    computes its single cell; the join is a plain equi-join on the
+    cell id and the exact predicate filters after.  A (point,
+    interval) pair can only meet in the point's own cell, so no dedup
+    stage exists.  Cost is O(points + Σ interval_span/bucket) rows
+    through a hash-partitioned join; pick ``bucket`` near the typical
+    interval length so each interval emits O(1) cells.  Columns pass
+    through from both sides (names must not collide)."""
+    b = float(bucket)
+    p = points.withColumn(
+        "__cell", F.floor(F.col(value_col) / b).cast("long")
+    )
+    iv = intervals.withColumn(
+        "__cell",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b).cast("long"),
+                F.floor(F.col(end_col) / b).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(iv, on="__cell", how="inner")
+        .filter(
+            (F.col(start_col) <= F.col(value_col))
+            & (F.col(value_col) < F.col(end_col))
+        )
+        .drop("__cell")
+    )
+
+
 def stream_sessionize(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

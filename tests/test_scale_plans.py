@@ -320,3 +320,31 @@ def test_reproject_raster_equi_join_no_bnlj(spark):
         (float(x0), float(y0), float(x1), float(y1)), 40, 50,
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def test_interval_join_no_bnlj(spark):
+    """interval_join must plan a hash/sort-merge EQUI-join on the
+    bucket cell — never the BroadcastNestedLoopJoin an inequality-only
+    join would produce — and agree with the literal predicate."""
+    from mapalgebra_spark.streaming import interval_join
+
+    pts = spark.range(500).select(
+        F.col("id").alias("pid"), (F.col("id") * 13.7 % 1000.0).alias("v")
+    )
+    iv = spark.range(20).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 50.0).alias("s"),
+        (F.col("id") * 50.0 + 80.0).alias("e"),
+    )
+    out = interval_join(pts, iv, "v", "s", "e", bucket=64.0)
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    exact = {
+        (r["pid"], r["iid"])
+        for r in pts.crossJoin(iv)
+        .filter((F.col("s") <= F.col("v")) & (F.col("v") < F.col("e")))
+        .collect()
+    }
+    assert got == exact and len(got) > 0
