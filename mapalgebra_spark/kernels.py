@@ -314,6 +314,19 @@ def k_fminority(p: np.ndarray) -> np.ndarray:
     return stack_minority(shifts(p))
 
 
+def k_fmedian(p: np.ndarray) -> np.ndarray:
+    """Focal median of the 3x3 window — the GaCM focal-statistics
+    member the reference omits entirely (its focal family is
+    fixed-function, MA:775-852).  The window always holds 9 values
+    (borders synthesized like the majority/minority family, Continue),
+    so the median is the exact 5th order statistic — no interpolation,
+    bit-reproducible, and matched by a relational median over the
+    mirrored window in the oracle."""
+    s = np.stack(shifts(p))
+    s = np.sort(s, axis=0)
+    return s[4]
+
+
 def k_fpercentage(p: np.ndarray) -> np.ndarray:
     """Fraction of the 8 neighbours equal to the focus, /8, border
     Continue (MA:828-838)."""

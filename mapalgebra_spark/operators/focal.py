@@ -74,6 +74,7 @@ FOCAL_OPS: dict[str, FocalSpec] = {
     "fvariety": FocalSpec("fvariety", K.k_fvariety, K.BORDER_EDGE),
     "fmajority": FocalSpec("fmajority", K.k_fmajority, K.BORDER_CONTINUE),
     "fminority": FocalSpec("fminority", K.k_fminority, K.BORDER_CONTINUE),
+    "fmedian": FocalSpec("fmedian", K.k_fmedian, K.BORDER_CONTINUE),
     "fpercentage": FocalSpec("fpercentage", K.k_fpercentage, K.BORDER_CONTINUE),
     "fpercentile": FocalSpec("fpercentile", K.k_fpercentile, K.BORDER_CONTINUE),
     # GaCM ops absent from the reference (README.md:129-130) — our
@@ -602,6 +603,11 @@ def fmajority(tr):  # MapAlgebra.hs:815-818
 
 def fminority(tr):  # MapAlgebra.hs:821-824
     return focal(tr, "fminority")
+
+
+def fmedian(tr):  # GaCM focal statistics — omitted by the reference;
+    # exact 5th order statistic of the 9-value window (kernels.k_fmedian)
+    return focal(tr, "fmedian")
 
 
 def fpercentage(tr):  # MapAlgebra.hs:828-838

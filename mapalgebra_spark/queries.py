@@ -279,6 +279,13 @@ def q_fminority(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fminority", "fmino", col="ival", dtype="int64")
 
 
+def q_fmedian(spark, sf_dir):
+    # exact 5th order statistic of the mirrored 9-value window — no
+    # interpolation on either engine (odd window), so doubles compare
+    # bit-exact
+    return _focal_rows(spark, sf_dir, "fmedian", "fmed")
+
+
 def q_fpercentage(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fpercentage", "fpct", col="ival", dtype="int64")
 
@@ -1224,6 +1231,12 @@ cnt AS (SELECT gy, gx, v, count(*) AS c FROM nbr GROUP BY gy, gx, v)
 SELECT gy, gx, CAST(v AS DOUBLE) AS fmino
 FROM (SELECT gy, gx, v, row_number() OVER (PARTITION BY gy, gx ORDER BY c ASC, v ASC) AS rn FROM cnt)
 WHERE rn = 1
+"""
+ORACLE["fmedian_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR}
+SELECT c.gy, c.gx, median(n.val) AS fmed
+{_JOIN_INNER}
+GROUP BY c.gy, c.gx
 """
 ORACLE["fpercentage_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_MIRROR},
@@ -2847,4 +2860,7 @@ QUERIES = {
     # r5: bucketed interval-containment join (the generic banded
     # range-join pattern) vs the literal inequality join
     "interval_events": q_interval_events,
+    # r5: focal median (GaCM focal statistics, omitted upstream) —
+    # exact 5th order statistic vs relational median over the window
+    "fmedian_grid": q_fmedian,
 }

@@ -106,3 +106,16 @@ def test_asof_join_vs_pandas_merge_asof(spark):
         ev = exp["value"].to_numpy(dtype=np.float64)
         gv = got["asof_value"].to_numpy(dtype=np.float64)
         assert ((np.isnan(ev) & np.isnan(gv)) | (ev == gv)).all(), (tol, got, exp)
+
+
+def test_k_fmedian_matches_numpy_median():
+    from mapalgebra_spark import kernels as K
+
+    rng = np.random.default_rng(11)
+    p = rng.normal(size=(12, 14))
+    got = K.k_fmedian(p)
+    exp = np.empty((10, 12))
+    for y in range(10):
+        for x in range(12):
+            exp[y, x] = np.median(p[y:y + 3, x:x + 3])
+    np.testing.assert_array_equal(got, exp)
