@@ -2679,6 +2679,84 @@ FROM events ev JOIN iv
 """
 
 
+def q_doc_split(spark, sf_dir):
+    """Deterministic content-keyed train/val/test split (90/5/5) —
+    both engines compute the identical md5-bucket arithmetic, so the
+    assignment matches row for row."""
+    from .textops import deterministic_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return deterministic_split(docs).select("doc_id", "split")
+
+
+ORACLE["doc_split"] = """
+SELECT doc_id,
+  CASE WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 10000 < 9000 THEN 'train'
+       WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+            % 10000 < 9500 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def q_domain_cap(spark, sf_dir):
+    """Domain capping: at most 20 docs per source, selected by the
+    deterministic md5 order — the corpus-curation guard against one
+    domain dominating."""
+    from .textops import cap_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_group(docs, group="source", n=20).select("doc_id", "source")
+
+
+ORACLE["domain_cap"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                    doc_id) AS rn
+  FROM documents) WHERE rn <= 20
+"""
+
+
+def q_doc_packs(spark, sf_dir):
+    """Greedy sequential sample packing (whole documents into
+    4096-char context windows, 8 deterministic shards).  The engine's
+    per-shard Arrow scan vs the oracle's recursive-CTE replay of the
+    same greedy rule — identical shard hash, identical order,
+    identical boundary condition."""
+    from .textops import pack_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_documents(docs, capacity=4096, cost="n_chars", n_shards=8)
+
+
+ORACLE["doc_packs"] = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS INT) AS shard
+  FROM documents),
+r AS (SELECT doc_id, n_chars, shard,
+             row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM d),
+p AS (
+  SELECT doc_id, n_chars, shard, rn, CAST(0 AS BIGINT) AS pack_id,
+         n_chars AS fill
+  FROM r WHERE rn = 1
+  UNION ALL
+  SELECT r.doc_id, r.n_chars, r.shard, r.rn,
+         CASE WHEN p.fill > 0 AND p.fill + r.n_chars > 4096
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.fill > 0 AND p.fill + r.n_chars > 4096
+              THEN r.n_chars ELSE p.fill + r.n_chars END
+  FROM r JOIN p ON r.shard = p.shard AND r.rn = p.rn + 1
+)
+SELECT doc_id, shard, pack_id, n_chars FROM p
+"""
+
+
 ORACLE["catalog_snapshots"] = """
 WITH f AS (SELECT count(*) AS c FROM events WHERE value > 50.0),
      u AS (SELECT count(DISTINCT user_id) AS c FROM events WHERE value > 50.0)
@@ -2863,4 +2941,9 @@ QUERIES = {
     # r5: focal median (GaCM focal statistics, omitted upstream) —
     # exact 5th order statistic vs relational median over the window
     "fmedian_grid": q_fmedian,
+    # r5: curation sampling ops — deterministic split, domain capping,
+    # greedy sequential sample packing (recursive-CTE oracle)
+    "doc_split": q_doc_split,
+    "domain_cap": q_domain_cap,
+    "doc_packs": q_doc_packs,
 }

@@ -647,6 +647,115 @@ def near_dup_clusters(docs: DataFrame, threshold: float = 0.7) -> DataFrame:
     )
 
 
+def deterministic_split(
+    docs: DataFrame,
+    weights: dict[str, float] | None = None,
+    key: str = "doc_id",
+    salt: str = "split",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic, content-keyed train/val/test assignment — the
+    split every training pipeline needs to be REPRODUCIBLE: each row's
+    bucket is ``h60(salt || ':' || key) % buckets`` (the engine's
+    shared md5 hash, identical arithmetic in DuckDB), cut by the
+    cumulative weight thresholds.  Properties a `rand()` split lacks:
+    stable across runs, engines, cluster sizes and partitionings, and
+    ADDITIVE — ingesting more documents never reassigns an existing
+    one, because assignment depends only on the row's own key.  Pure
+    JVM projection, no shuffle."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    b = h60(F.concat(F.lit(f"{salt}:"), F.col(key).cast("string"))) % F.lit(buckets)
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, wt in items[:-1]:
+        acc += wt / total
+        cut = int(round(acc * buckets))
+        cond = b < F.lit(cut)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", expr)
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group: str = "source",
+    n: int = 100,
+    key: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Domain capping — keep at most ``n`` documents per ``group``
+    (source/domain), the standard curation guard against one crawl
+    domain dominating a corpus.  Selection within a group is by the
+    deterministic md5 order (``h60(salt:key)``, ties by key):
+    uniform-random-like but exactly reproducible.  One window
+    partitioned by the group column: 10^6 domains spread across the
+    cluster; a single hot domain sorts only its own rows."""
+    from pyspark.sql import Window
+
+    h = h60(F.concat(F.lit(f"{salt}:"), F.col(key).cast("string")))
+    w = Window.partitionBy(group).orderBy(h.asc(), F.col(key).asc())
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def pack_documents(
+    docs: DataFrame,
+    capacity: int = 4096,
+    cost: str = "n_chars",
+    key: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Greedy sequential sample PACKING: documents are first sharded
+    deterministically (``h60(key) % n_shards`` — packing is per-shard
+    so 10^9 documents parallelize), then WITHIN each shard, in
+    ascending key order, each document joins the current pack unless
+    its ``cost`` would push the pack past ``capacity``, in which case
+    it starts the next pack.  A document costing more than
+    ``capacity`` alone occupies its own pack.  This is the
+    concat-documents-into-context-windows step of LLM training data
+    prep, with whole-document granularity (chunk_documents is the
+    intra-document variant).
+
+    The scan is inherently sequential per shard (each decision depends
+    on the running fill), so it runs as one Arrow-batched
+    ``applyInPandas`` per shard with a numpy loop over that shard's
+    rows — worker memory O(shard rows), no driver involvement.
+    Returns (key, shard, pack_id, cost) — pack_id is shard-local."""
+    import pandas as pd
+
+    shard = (h60(F.col(key).cast("string")) % F.lit(n_shards)).cast("int")
+    src = docs.select(
+        F.col(key), F.col(cost).cast("long").alias("__cost"), shard.alias("shard")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key).reset_index(drop=True)
+        costs = pdf["__cost"].to_numpy()
+        packs = np.empty(len(costs), dtype=np.int64)
+        fill, pid = 0, 0
+        for i, c in enumerate(costs):
+            if fill > 0 and fill + c > capacity:
+                pid += 1
+                fill = 0
+            packs[i] = pid
+            fill += c
+        pdf["pack_id"] = packs
+        return pdf
+
+    out_schema = f"{key} long, __cost long, shard int, pack_id long"
+    return (
+        src.groupby("shard")
+        .applyInPandas(lambda _, pdf: pack(pdf), out_schema)
+        .select(key, "shard", "pack_id", F.col("__cost").alias(cost))
+    )
+
+
 def chunk_documents(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
     standard LLM-training preprocessing step (context windows of

@@ -119,3 +119,38 @@ def test_k_fmedian_matches_numpy_median():
         for x in range(12):
             exp[y, x] = np.median(p[y:y + 3, x:x + 3])
     np.testing.assert_array_equal(got, exp)
+
+
+def test_pack_documents_greedy_semantics(spark):
+    """Boundary rules: a doc that would overflow starts a new pack; a
+    doc larger than capacity alone occupies one; packing never splits
+    a document."""
+    from mapalgebra_spark.textops import pack_documents
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "n_chars": [50, 60, 200, 10, 95],
+    })
+    out = pack_documents(
+        spark.createDataFrame(pdf), capacity=100, cost="n_chars",
+        key="doc_id", n_shards=1,
+    ).toPandas().sort_values("doc_id")
+    # order by doc_id: 50 -> pack0(50); 60 overflows -> pack1(60);
+    # 200 overflows -> pack2(200, oversize alone); 10 -> pack3(10);
+    # 95 overflows (10+95>100) -> pack4
+    assert list(out["pack_id"]) == [0, 1, 2, 3, 4]
+
+
+def test_deterministic_split_is_additive(spark):
+    """Adding documents never reassigns existing ones: the split of a
+    subset equals the subset of the split."""
+    from pyspark.sql import functions as F
+    from mapalgebra_spark.textops import deterministic_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {r["doc_id"]: r["split"]
+            for r in deterministic_split(docs).select("doc_id", "split").collect()}
+    sub = {r["doc_id"]: r["split"]
+           for r in deterministic_split(docs.filter(F.col("doc_id") % 3 == 0))
+           .select("doc_id", "split").collect()}
+    assert all(full[k] == v for k, v in sub.items()) and len(sub) > 0
