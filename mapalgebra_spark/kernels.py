@@ -327,6 +327,43 @@ def k_fmedian(p: np.ndarray) -> np.ndarray:
     return s[4]
 
 
+def k_ftpi(p: np.ndarray) -> np.ndarray:
+    """Topographic Position Index (gdaldem `tpi` semantics): focus
+    minus the MEAN OF THE 8 NEIGHBOURS (center excluded).  Positive on
+    ridges, negative in valleys.  Terms accumulate in neighbourhood
+    order (nw..se, focus excluded) — on integer inputs the sum is
+    exact in float64 regardless, which is what the relational oracle
+    relies on."""
+    nw, no, ne, we, fo, ea, sw, so, se = shifts(p)
+    acc = np.zeros(fo.shape, dtype=np.float64)
+    for s in (nw, no, ne, we, ea, sw, so, se):
+        acc += s
+    return fo - acc / 8.0
+
+
+def k_ftri(p: np.ndarray) -> np.ndarray:
+    """Terrain Ruggedness Index, Riley et al. 1999 (gdaldem
+    `tri -alg Riley`): sqrt of the sum of squared differences between
+    the focus and its 8 neighbours.  Integer inputs keep every squared
+    term and the sum exact in float64 (well under 2^53), so the single
+    final sqrt is bit-reproducible across engines."""
+    nw, no, ne, we, fo, ea, sw, so, se = shifts(p)
+    acc = np.zeros(fo.shape, dtype=np.float64)
+    for s in (nw, no, ne, we, ea, sw, so, se):
+        d = s - fo
+        acc += d * d
+    return np.sqrt(acc)
+
+
+def k_froughness(p: np.ndarray) -> np.ndarray:
+    """Roughness (gdaldem `roughness`): max minus min of the full 3x3
+    window (center included)."""
+    ss = shifts(p)
+    mx = np.maximum.reduce(ss)
+    mn = np.minimum.reduce(ss)
+    return mx - mn
+
+
 def k_fpercentage(p: np.ndarray) -> np.ndarray:
     """Fraction of the 8 neighbours equal to the focus, /8, border
     Continue (MA:828-838)."""

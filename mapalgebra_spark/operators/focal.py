@@ -75,6 +75,11 @@ FOCAL_OPS: dict[str, FocalSpec] = {
     "fmajority": FocalSpec("fmajority", K.k_fmajority, K.BORDER_CONTINUE),
     "fminority": FocalSpec("fminority", K.k_fminority, K.BORDER_CONTINUE),
     "fmedian": FocalSpec("fmedian", K.k_fmedian, K.BORDER_CONTINUE),
+    # gdaldem terrain-index family (TPI/TRI/roughness) — mirrored
+    # (Continue) border like the neighbour-compare ops
+    "ftpi": FocalSpec("ftpi", K.k_ftpi, K.BORDER_CONTINUE, cast="float64"),
+    "ftri": FocalSpec("ftri", K.k_ftri, K.BORDER_CONTINUE, cast="float64"),
+    "froughness": FocalSpec("froughness", K.k_froughness, K.BORDER_CONTINUE),
     "fpercentage": FocalSpec("fpercentage", K.k_fpercentage, K.BORDER_CONTINUE),
     "fpercentile": FocalSpec("fpercentile", K.k_fpercentile, K.BORDER_CONTINUE),
     # GaCM ops absent from the reference (README.md:129-130) — our
@@ -608,6 +613,18 @@ def fminority(tr):  # MapAlgebra.hs:821-824
 def fmedian(tr):  # GaCM focal statistics — omitted by the reference;
     # exact 5th order statistic of the 9-value window (kernels.k_fmedian)
     return focal(tr, "fmedian")
+
+
+def ftpi(tr):  # gdaldem tpi: focus - mean(8 neighbours)
+    return focal(tr, "ftpi")
+
+
+def ftri(tr):  # gdaldem tri (Riley): sqrt(sum (nbr - focus)^2)
+    return focal(tr, "ftri")
+
+
+def froughness(tr):  # gdaldem roughness: max - min of the 3x3 window
+    return focal(tr, "froughness")
 
 
 def fpercentage(tr):  # MapAlgebra.hs:828-838

@@ -286,6 +286,21 @@ def q_fmedian(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fmedian", "fmed")
 
 
+def q_ftpi(spark, sf_dir):
+    # gdaldem tpi on the integer grid: int sums are exact in float64
+    # and /8 is a power-of-two division, so doubles match bit-exact
+    return _focal_rows(spark, sf_dir, "ftpi", "tpi", col="ival", dtype="int64")
+
+
+def q_ftri(spark, sf_dir):
+    # gdaldem tri (Riley): squared int diffs sum exactly; one final sqrt
+    return _focal_rows(spark, sf_dir, "ftri", "tri", col="ival", dtype="int64")
+
+
+def q_froughness(spark, sf_dir):
+    return _focal_rows(spark, sf_dir, "froughness", "rough", col="ival", dtype="int64")
+
+
 def q_fpercentage(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fpercentage", "fpct", col="ival", dtype="int64")
 
@@ -1231,6 +1246,28 @@ cnt AS (SELECT gy, gx, v, count(*) AS c FROM nbr GROUP BY gy, gx, v)
 SELECT gy, gx, CAST(v AS DOUBLE) AS fmino
 FROM (SELECT gy, gx, v, row_number() OVER (PARTITION BY gy, gx ORDER BY c ASC, v ASC) AS rn FROM cnt)
 WHERE rn = 1
+"""
+ORACLE["ftpi_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, c.dy, c.dx, n.ival AS v {_JOIN_INNER})
+SELECT nbr.gy, nbr.gx,
+  g2.ival - sum(CASE WHEN NOT (nbr.dy = 0 AND nbr.dx = 0) THEN nbr.v END)/8.0 AS tpi
+FROM nbr JOIN grid g2 ON g2.gy = nbr.gy AND g2.gx = nbr.gx
+GROUP BY nbr.gy, nbr.gx, g2.ival
+"""
+ORACLE["ftri_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, n.ival AS v {_JOIN_INNER})
+SELECT nbr.gy, nbr.gx,
+  sqrt(sum((nbr.v - g2.ival) * (nbr.v - g2.ival)) * 1.0) AS tri
+FROM nbr JOIN grid g2 ON g2.gy = nbr.gy AND g2.gx = nbr.gx
+GROUP BY nbr.gy, nbr.gx
+"""
+ORACLE["froughness_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR}
+SELECT c.gy, c.gx, CAST(max(n.ival) - min(n.ival) AS DOUBLE) AS rough
+{_JOIN_INNER}
+GROUP BY c.gy, c.gx
 """
 ORACLE["fmedian_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_MIRROR}
@@ -2946,4 +2983,8 @@ QUERIES = {
     "doc_split": q_doc_split,
     "domain_cap": q_domain_cap,
     "doc_packs": q_doc_packs,
+    # r5: gdaldem terrain-index family (TPI / Riley TRI / roughness)
+    "ftpi_grid": q_ftpi,
+    "ftri_grid": q_ftri,
+    "froughness_grid": q_froughness,
 }
