@@ -364,6 +364,22 @@ def k_froughness(p: np.ndarray) -> np.ndarray:
     return mx - mn
 
 
+def k_fvariance(p: np.ndarray) -> np.ndarray:
+    """Focal POPULATION variance of the 3x3 window via the exact
+    integer identity (9*Σx² − (Σx)²) / 81: on integer inputs both
+    accumulators are exact in float64 (< 2^53) and the single final
+    division is the only rounding step — so a relational oracle
+    computing the same identity matches bit-for-bit (a Welford-style
+    streaming variance would not)."""
+    ss = shifts(p)
+    s1 = np.zeros(ss[4].shape, dtype=np.float64)
+    s2 = np.zeros(ss[4].shape, dtype=np.float64)
+    for s in ss:
+        s1 += s
+        s2 += s * s
+    return (9.0 * s2 - s1 * s1) / 81.0
+
+
 def k_fpercentage(p: np.ndarray) -> np.ndarray:
     """Fraction of the 8 neighbours equal to the focus, /8, border
     Continue (MA:828-838)."""

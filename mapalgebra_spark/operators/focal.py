@@ -80,6 +80,7 @@ FOCAL_OPS: dict[str, FocalSpec] = {
     "ftpi": FocalSpec("ftpi", K.k_ftpi, K.BORDER_CONTINUE, cast="float64"),
     "ftri": FocalSpec("ftri", K.k_ftri, K.BORDER_CONTINUE, cast="float64"),
     "froughness": FocalSpec("froughness", K.k_froughness, K.BORDER_CONTINUE),
+    "fvariance": FocalSpec("fvariance", K.k_fvariance, K.BORDER_CONTINUE, cast="float64"),
     "fpercentage": FocalSpec("fpercentage", K.k_fpercentage, K.BORDER_CONTINUE),
     "fpercentile": FocalSpec("fpercentile", K.k_fpercentile, K.BORDER_CONTINUE),
     # GaCM ops absent from the reference (README.md:129-130) — our
@@ -625,6 +626,10 @@ def ftri(tr):  # gdaldem tri (Riley): sqrt(sum (nbr - focus)^2)
 
 def froughness(tr):  # gdaldem roughness: max - min of the 3x3 window
     return focal(tr, "froughness")
+
+
+def fvariance(tr):  # focal population variance, exact integer identity
+    return focal(tr, "fvariance")
 
 
 def fpercentage(tr):  # MapAlgebra.hs:828-838

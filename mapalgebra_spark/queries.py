@@ -301,6 +301,13 @@ def q_froughness(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "froughness", "rough", col="ival", dtype="int64")
 
 
+def q_fvariance_focal(spark, sf_dir):
+    # focal population variance via the exact integer identity
+    # (9*sum(x^2) - sum(x)^2)/81 — both engines round only at the
+    # single final division
+    return _focal_rows(spark, sf_dir, "fvariance", "fvar", col="ival", dtype="int64")
+
+
 def q_fpercentage(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "fpercentage", "fpct", col="ival", dtype="int64")
 
@@ -1268,6 +1275,13 @@ WITH {GRID_CTE}, {_COORDS_MIRROR}
 SELECT c.gy, c.gx, CAST(max(n.ival) - min(n.ival) AS DOUBLE) AS rough
 {_JOIN_INNER}
 GROUP BY c.gy, c.gx
+"""
+ORACLE["fvariance_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, n.ival AS v {_JOIN_INNER})
+SELECT gy, gx,
+  (9.0 * sum(v * v) - sum(v) * sum(v)) / 81.0 AS fvar
+FROM nbr GROUP BY gy, gx
 """
 ORACLE["fmedian_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_MIRROR}
@@ -2984,7 +2998,9 @@ QUERIES = {
     "domain_cap": q_domain_cap,
     "doc_packs": q_doc_packs,
     # r5: gdaldem terrain-index family (TPI / Riley TRI / roughness)
+    # + focal population variance (exact integer identity)
     "ftpi_grid": q_ftpi,
     "ftri_grid": q_ftri,
     "froughness_grid": q_froughness,
+    "fvariance_grid": q_fvariance_focal,
 }
