@@ -26,6 +26,8 @@ reference      np.pad mode      meaning at a true raster edge
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 TAU = 6.283185307179586  # MA:1116-1117
@@ -378,6 +380,66 @@ def k_fvariance(p: np.ndarray) -> np.ndarray:
         s1 += s
         s2 += s * s
     return (9.0 * s2 - s1 * s1) / 81.0
+
+
+#: Hillshade light constants (gdaldem defaults: azimuth 315°, altitude
+#: 45°), computed once here and shared VERBATIM (repr round-trip) with
+#: the SQL oracle so both engines evaluate the identical
+#: double-precision chain.  sin/cos of the fixed angles are constants,
+#: not per-pixel trig — the kernel itself is trig-free.
+HS_SIN_ALT = math.sin(math.radians(45.0))
+HS_CA_SIN_AZ = math.cos(math.radians(45.0)) * math.sin(math.radians(315.0))
+HS_CA_COS_AZ = math.cos(math.radians(45.0)) * math.cos(math.radians(315.0))
+
+
+def _horn_sums(p: np.ndarray):
+    """Horn 1981 weighted 8-neighbour sums (gdaldem's default gradient
+    stencil), UNdivided: sx = (ne+2e+se)-(nw+2w+sw) grows eastward,
+    sy = (sw+2s+se)-(nw+2n+ne) grows southward.  On integral inputs
+    every term and both sums are exact in float64, so a relational
+    SUM(v * dx * (2-|dy|)) / SUM(v * dy * (2-|dx|)) reproduces them
+    bit-for-bit regardless of accumulation order."""
+    nw, no, ne, we, fo, ea, sw, so, se = shifts(p)
+    sx = (ne + 2.0 * ea + se) - (nw + 2.0 * we + sw)
+    sy = (sw + 2.0 * so + se) - (nw + 2.0 * no + ne)
+    return sx, sy
+
+
+def k_fslope(p: np.ndarray) -> np.ndarray:
+    """gdaldem ``slope -p`` (percent slope), Horn gradient, cell size 1:
+    100·sqrt((sx/8)² + (sy/8)²) = 12.5·sqrt(sx² + sy²).  With integral
+    inputs sx²+sy² is exact, sqrt is IEEE correctly rounded, and 12.5
+    is a power-of-two multiple — one rounding step total, so the SQL
+    oracle's identical expression matches bit-for-bit.  (Degrees would
+    need atan, whose last-ulp behaviour is libm-dependent; percent is
+    the exactly-reproducible member of the pair.)"""
+    sx, sy = _horn_sums(p)
+    return 12.5 * np.sqrt(sx * sx + sy * sy)
+
+
+def k_fhillshade(p: np.ndarray) -> np.ndarray:
+    """gdaldem ``hillshade`` (Horn gradient, azimuth 315°, altitude
+    45°, z-factor 1, cell size 1), returned as a CONTINUOUS float in
+    [1, 255] (the integer quantization is a presentation step with
+    engine-dependent half-rounding; callers wanting bytes round
+    explicitly).  With x east / y north / z up and row index growing
+    south, the cosine of the sun–normal angle is
+
+        cang = (sin(alt) − cos(alt)·(gx·sin(az) − gy·cos(az)))
+               / sqrt(1 + gx² + gy²)
+
+    where gx = sx/8 (east) and gy = sy/8 (SOUTH — hence the sign flip
+    on the cos(az) term).  Every elementary op below is IEEE
+    correctly rounded and evaluated in a pinned order mirrored
+    token-for-token by the SQL oracle, so the doubles match bit-exact
+    with no tolerance."""
+    sx, sy = _horn_sums(p)
+    gx = sx / 8.0
+    gy = sy / 8.0
+    num = HS_SIN_ALT - (gx * HS_CA_SIN_AZ - gy * HS_CA_COS_AZ)
+    den = np.sqrt(1.0 + (gx * gx + gy * gy))
+    cang = num / den
+    return np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
 
 
 def k_fpercentage(p: np.ndarray) -> np.ndarray:

@@ -80,6 +80,10 @@ FOCAL_OPS: dict[str, FocalSpec] = {
     "ftpi": FocalSpec("ftpi", K.k_ftpi, K.BORDER_CONTINUE, cast="float64"),
     "ftri": FocalSpec("ftri", K.k_ftri, K.BORDER_CONTINUE, cast="float64"),
     "froughness": FocalSpec("froughness", K.k_froughness, K.BORDER_CONTINUE),
+    "fslope": FocalSpec("fslope", K.k_fslope, K.BORDER_CONTINUE, cast="float64"),
+    "fhillshade": FocalSpec(
+        "fhillshade", K.k_fhillshade, K.BORDER_CONTINUE, cast="float64"
+    ),
     "fvariance": FocalSpec("fvariance", K.k_fvariance, K.BORDER_CONTINUE, cast="float64"),
     "fpercentage": FocalSpec("fpercentage", K.k_fpercentage, K.BORDER_CONTINUE),
     "fpercentile": FocalSpec("fpercentile", K.k_fpercentile, K.BORDER_CONTINUE),
@@ -630,6 +634,14 @@ def froughness(tr):  # gdaldem roughness: max - min of the 3x3 window
 
 def fvariance(tr):  # focal population variance, exact integer identity
     return focal(tr, "fvariance")
+
+
+def fslope(tr):  # gdaldem slope -p: Horn gradient, percent
+    return focal(tr, "fslope")
+
+
+def fhillshade(tr):  # gdaldem hillshade: Horn, az 315 / alt 45
+    return focal(tr, "fhillshade")
 
 
 def fpercentage(tr):  # MapAlgebra.hs:828-838

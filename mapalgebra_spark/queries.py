@@ -301,6 +301,19 @@ def q_froughness(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "froughness", "rough", col="ival", dtype="int64")
 
 
+def q_fslope(spark, sf_dir):
+    # gdaldem slope -p (Horn, percent): integral-valued doubles keep
+    # sx²+sy² exact; one correctly-rounded sqrt and a power-of-two
+    # scale — bit-exact vs the relational Horn-weight oracle
+    return _focal_rows(spark, sf_dir, "fslope", "slp")
+
+
+def q_fhillshade(spark, sf_dir):
+    # gdaldem hillshade (Horn, az 315 / alt 45): constants shared
+    # verbatim with the oracle, op order pinned (kernels.k_fhillshade)
+    return _focal_rows(spark, sf_dir, "fhillshade", "hsh")
+
+
 def q_fvariance_focal(spark, sf_dir):
     # focal population variance via the exact integer identity
     # (9*sum(x^2) - sum(x)^2)/81 — both engines round only at the
@@ -1282,6 +1295,37 @@ nbr AS (SELECT c.gy, c.gx, n.ival AS v {_JOIN_INNER})
 SELECT gy, gx,
   (9.0 * sum(v * v) - sum(v) * sum(v)) / 81.0 AS fvar
 FROM nbr GROUP BY gy, gx
+"""
+# Horn gradient weights as closed forms over the offset grid:
+# w_x(dy,dx) = dx*(2-|dy|) reproduces +1/+2/+1 on the east column and
+# -1/-2/-1 on the west; w_y(dy,dx) = dy*(2-|dx|) likewise north/south.
+# Integral inputs keep both weighted sums exact, so accumulation order
+# is irrelevant and the single sqrt (slope) / pinned-order chain
+# (hillshade) matches the kernels bit-for-bit.
+ORACLE["fslope_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, c.dy, c.dx, n.val AS v {_JOIN_INNER}),
+hn AS (SELECT gy, gx,
+  sum(v * dx * (2 - abs(dy))) AS sx,
+  sum(v * dy * (2 - abs(dx))) AS sy
+  FROM nbr GROUP BY gy, gx)
+SELECT gy, gx, 12.5 * sqrt(sx*sx + sy*sy) AS slp FROM hn
+"""
+ORACLE["fhillshade_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, c.dy, c.dx, n.val AS v {_JOIN_INNER}),
+hn AS (SELECT gy, gx,
+  sum(v * dx * (2 - abs(dy))) AS sx,
+  sum(v * dy * (2 - abs(dx))) AS sy
+  FROM nbr GROUP BY gy, gx),
+g2 AS (SELECT gy, gx, sx/8.0 AS hx, sy/8.0 AS hy FROM hn),
+cg AS (SELECT gy, gx,
+  (({K.HS_SIN_ALT!r}) - (hx*({K.HS_CA_SIN_AZ!r}) - hy*({K.HS_CA_COS_AZ!r})))
+    / sqrt(1.0 + (hx*hx + hy*hy)) AS cang
+  FROM g2)
+SELECT gy, gx,
+  CASE WHEN cang <= 0.0 THEN 1.0 ELSE 1.0 + 254.0 * cang END AS hsh
+FROM cg
 """
 ORACLE["fmedian_grid"] = f"""
 WITH {GRID_CTE}, {_COORDS_MIRROR}
@@ -3003,4 +3047,8 @@ QUERIES = {
     "ftri_grid": q_ftri,
     "froughness_grid": q_froughness,
     "fvariance_grid": q_fvariance_focal,
+    # r5: gdaldem Horn-gradient pair — percent slope (single-sqrt
+    # exact) and hillshade (pinned-order IEEE chain, shared constants)
+    "fslope_grid": q_fslope,
+    "fhillshade_grid": q_fhillshade,
 }
