@@ -23,6 +23,7 @@ from pyspark.sql import types as T
 from .. import codecs
 from .. import kernels as K
 from ..raster import TileRaster
+from ..tiles import AUX_COLS as _AUX_COLS
 from ..tiles import decode_block
 
 # RGB literals from /Cartographer's Toolkit/ as cited in
@@ -178,6 +179,91 @@ def histogram_binned(
         (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias("bin_hi"),
         "count",
     )
+
+
+def equalize(tr: TileRaster, band: int | None = None) -> TileRaster:
+    """Global histogram EQUALIZATION — the classic contrast-enhancement
+    GLOBAL op (every output pixel depends on the full-raster value
+    distribution): remap each value v to
+
+        eq(v) = floor((cdf(v) − cdf_min) · 255 / (N − cdf_min))
+
+    where cdf is the cumulative count and cdf_min the cdf of the
+    smallest present value (the standard formula; constant rasters map
+    to 0).  Output is float64 in [0, 255].
+
+    100 TB shape: two jobs, no driver data.  (1) the LUT —
+    ``histogram_values`` partials (shuffle = per-tile distinct counts)
+    → a cumsum window over the ≤distinct-values rows (single-partition
+    by design, like ``breaks``' 256-row fold: the LUT of a
+    value-discrete raster is tiny by contract) → a one-row totals
+    crossJoin; (2) the remap — the LUT rides to every tile as ONE
+    broadcast array column (collect-free) and each tile rewrites via a
+    vectorized searchsorted.  Integer rasters only (the equalization
+    LUT of a continuous float raster is the quantile transform —
+    ``histogram_binned`` + ``classify`` covers that shape)."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from ..tiles import TILE_SCHEMA, aux_blobs, encode_block
+
+    lut = histogram_values(tr, band=band)
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lut = lut.withColumn("cdf", F.sum("count").over(w))
+    tot = lut.agg(F.min("cdf").alias("cdfmin"), F.max("cdf").alias("n"))
+    mapped = lut.crossJoin(F.broadcast(tot)).select(
+        "value",
+        F.when(F.col("n") == F.col("cdfmin"), F.lit(0.0))
+        .otherwise(
+            F.floor(
+                (F.col("cdf") - F.col("cdfmin")) * F.lit(255.0)
+                / (F.col("n") - F.col("cdfmin"))
+            ).cast("double")
+        )
+        .alias("eq"),
+    )
+    lut_row = mapped.agg(
+        F.collect_list(F.struct(F.col("value"), F.col("eq"))).alias("_lut")
+    )
+
+    src = tr.strict().df
+    if band is not None:
+        src = src.filter(F.col("band") == band)
+    joined = src.crossJoin(F.broadcast(lut_row))
+
+    def remap(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            entries = pdf["_lut"].iloc[0]
+            keys = np.array([e["value"] for e in entries], dtype=np.int64)
+            vals = np.array([e["eq"] for e in entries], dtype=np.float64)
+            order = np.argsort(keys)
+            keys, vals = keys[order], vals[order]
+            out_tiles, out_dt, out_aux = [], [], {c: [] for c in _AUX_COLS}
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                block = decode_block(
+                    row["tile"], row["dtype"], int(row["h"]), int(row["w"]),
+                    int(row["planes"]),
+                )
+                res = vals[np.searchsorted(keys, block.astype(np.int64))]
+                out_tiles.append(encode_block(res))
+                out_dt.append(str(res.dtype))
+                for k, v in aux_blobs(res).items():
+                    out_aux[k].append(v)
+            out = pdf[
+                [f.name for f in TILE_SCHEMA.fields
+                 if f.name not in ("tile", "dtype", *_AUX_COLS)]
+            ].copy()
+            out["tile"] = out_tiles
+            out["dtype"] = out_dt
+            for k in _AUX_COLS:
+                out[k] = out_aux[k]
+            yield out[[f.name for f in TILE_SCHEMA.fields]]
+
+    return TileRaster(joined.mapInPandas(remap, TILE_SCHEMA))
 
 
 def value_range(tr: TileRaster, band: int | None = None) -> tuple[float, float]:

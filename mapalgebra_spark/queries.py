@@ -565,6 +565,17 @@ _COLORIZE_MAP = [
 ]
 
 
+def q_equalize(spark, sf_dir):
+    """Global histogram equalization (operators/color.equalize): the
+    LUT (cdf remap) is built distributed from ``histogram_values``
+    partials and broadcast to the remap stage as one array column — no
+    driver collect.  Exactness: (cdf-cdfmin)*255 is an exact float64
+    integer, the single division is correctly rounded identically on
+    both engines, and floor of an identical double is deterministic."""
+    tr, _, _ = _val_tiles(spark, sf_dir, "val", "int64")
+    return tiles_to_rows(CO.equalize(tr), "eq")
+
+
 def q_pipeline_composed(spark, sf_dir):
     """Full-lifecycle composition under ONE hash (r3 verdict stretch):
     grid → tile table → focal ``fsum`` (Fill 0) across tile halos →
@@ -1127,6 +1138,22 @@ def _colorize_sql() -> str:
 ORACLE["colorize_grid"] = f"""
 WITH {GRID_CTE}
 SELECT gy, gx, {_colorize_sql()} AS rgba FROM grid
+"""
+
+# global histogram equalization: cdf window + totals + LUT join —
+# the same formula, same op order (exact int numerator, one division,
+# floor of identical doubles)
+ORACLE["equalize_grid"] = f"""
+WITH {GRID_CTE},
+iv AS (SELECT gy, gx, CAST(val AS BIGINT) AS v FROM grid),
+cnt AS (SELECT v, count(*) AS c FROM iv GROUP BY v),
+cdf AS (SELECT v, sum(c) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cdf FROM cnt),
+tot AS (SELECT min(cdf) AS cdfmin, max(cdf) AS n FROM cdf),
+lut AS (SELECT v, CASE WHEN n = cdfmin THEN 0.0
+        ELSE floor((cdf - cdfmin) * 255.0 / (n - cdfmin)) END AS eq
+        FROM cdf CROSS JOIN tot)
+SELECT iv.gy, iv.gx, lut.eq AS eq FROM iv JOIN lut ON lut.v = iv.v
 """
 
 # composed pipeline: fsum (Fill 0, exact integral sums) -> colorize
@@ -3051,4 +3078,6 @@ QUERIES = {
     # exact) and hillshade (pinned-order IEEE chain, shared constants)
     "fslope_grid": q_fslope,
     "fhillshade_grid": q_fhillshade,
+    # r5: global histogram equalization (distributed LUT, no collect)
+    "equalize_grid": q_equalize,
 }
