@@ -1,0 +1,198 @@
+"""Region labeling (clump / region-group) — the raster GLOBAL op that
+assigns every cell the identity of its 4-connected equal-value region
+(GRASS ``r.clump`` / ArcGIS *Region Group* semantics; absent from the
+reference, whose focal ``fpartition``/``fshape`` see only 2x2
+neighbourhoods — MapAlgebra.hs:902-1038).
+
+Two-level algorithm (the 100 TB shape):
+
+1. **Local contraction** (one ``mapInPandas`` over the tile table, no
+   halo): each tile labels its own pixels by vectorized min-label
+   propagation with pointer jumping (O(log area) rounds of whole-array
+   numpy mins), emitting pixel rows ``(gy, gx, rep, val)`` where
+   ``rep`` is the smallest member pixel-id of the WITHIN-TILE
+   component.
+2. **Boundary stitching**: tile-border pixels are filtered JVM-side
+   (``(gx+1) % pitch == 0`` meets ``gx % pitch == 0``), equi-joined on
+   (raster, band, row, adjacent col, equal value) to produce
+   rep↔rep edges — O(perimeter) per tile, never O(area) — and closed
+   by ``graph.connected_components`` (alternating large-star/
+   small-star, O(log n) rounds).  The CC input is the boundary graph
+   of LOCAL representatives, a ~2/pitch fraction of the pixel count.
+3. **Relabel**: one broadcast-sized left join rep → component;
+   ``clump`` = the component's global minimum pixel id.
+
+Multi-raster / multi-band tables are handled by composing ids as
+``(dense raster index << 40) | gy*rw + gx`` — components never span
+rasters, so the final label strips the high bits back off.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..raster import TileRaster
+from ..tiles import decode_block
+
+#: pixel-id width inside a composed id: rasters up to 2^20 x 2^20 cells
+_PIX_BITS = 40
+
+
+def label_block(vals: np.ndarray) -> np.ndarray:
+    """4-connected components of equal value within one block:
+    returns the flat LOCAL index of each pixel's component minimum.
+
+    Min-label propagation + pointer jumping: labels start as the
+    identity, every round takes the min over equal-valued 4-neighbours
+    and then compresses twice (``lab = lab[lab]``).  Labels are
+    monotone nonincreasing and always index a same-component pixel, so
+    the fixpoint is exactly the per-component minimum; pointer jumping
+    makes long thin components converge in O(log area) rounds instead
+    of O(diameter)."""
+    h, w = vals.shape
+    lab = np.arange(h * w, dtype=np.int64)
+    eqe = vals[:, :-1] == vals[:, 1:]
+    eqs = vals[:-1, :] == vals[1:, :]
+    while True:
+        a = lab.reshape(h, w)
+        nxt = a.copy()
+        if w > 1:
+            m = np.minimum(a[:, :-1], a[:, 1:])
+            nl, nr = nxt[:, :-1], nxt[:, 1:]
+            np.minimum(nl, np.where(eqe, m, nl), out=nl)
+            np.minimum(nr, np.where(eqe, m, nr), out=nr)
+        if h > 1:
+            m = np.minimum(a[:-1, :], a[1:, :])
+            nu, nd = nxt[:-1, :], nxt[1:, :]
+            np.minimum(nu, np.where(eqs, m, nu), out=nu)
+            np.minimum(nd, np.where(eqs, m, nd), out=nd)
+        f = nxt.ravel()
+        f = f[f]
+        f = f[f]
+        if np.array_equal(f, lab):
+            return f.reshape(h, w)
+        lab = f
+
+
+_LAB_SCHEMA = T.StructType(
+    [
+        T.StructField("raster_id", T.StringType()),
+        T.StructField("band", T.IntegerType()),
+        T.StructField("ridx", T.LongType()),
+        T.StructField("gy", T.IntegerType()),
+        T.StructField("gx", T.IntegerType()),
+        T.StructField("rep", T.LongType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def clump(tr: TileRaster, tile_pitch: int = 256) -> DataFrame:
+    """Label every cell with its 4-connected equal-value region →
+    rows ``(raster_id, band, gy, gx, val, clump)`` where ``clump`` is
+    the region's minimum ``gy*rw + gx`` pixel id (deterministic,
+    engine-independent).  See the module docstring for the two-level
+    scale design.  ``tile_pitch`` is the tile grid pitch (every tile
+    except the last row/column is pitch-sized — the TileRaster tiling
+    invariant)."""
+    from .. import graph as G
+
+    src = tr.strict().df
+    # dense per-(raster, band) index for id composition — a tiny dim
+    # table (one row per raster-band), broadcast back onto the tiles
+    dim = (
+        src.select("raster_id", "band").distinct()
+        .withColumn(
+            "ridx",
+            F.row_number().over(Window.orderBy("raster_id", "band")).cast("long") - 1,
+        )
+    )
+    with_ridx = src.join(F.broadcast(dim), on=["raster_id", "band"])
+
+    def stage_local(batches):
+        for pdf in batches:
+            out = []
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                h, w = int(row["h"]), int(row["w"])
+                block = decode_block(
+                    row["tile"], row["dtype"], h, w, int(row["planes"])
+                )
+                if block.ndim == 3:
+                    if block.shape[0] != 1:
+                        raise ValueError("clump needs a single-plane raster")
+                    block = block[0]
+                vals = block.astype(np.float64)
+                loc = label_block(vals)
+                gy0 = int(row["ty"]) * tile_pitch
+                gx0 = int(row["tx"]) * tile_pitch
+                rw = int(row["rw"])
+                yy, xx = np.mgrid[0:h, 0:w]
+                gys = (gy0 + yy).astype(np.int32).ravel()
+                gxs = (gx0 + xx).astype(np.int32).ravel()
+                # local flat index -> global pixel id of that pixel
+                gid = (gy0 + loc // w).astype(np.int64) * rw + (gx0 + loc % w)
+                rep = (int(row["ridx"]) << _PIX_BITS) + gid.ravel()
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "raster_id": row["raster_id"],
+                            "band": np.int32(row["band"]),
+                            "ridx": np.int64(row["ridx"]),
+                            "gy": gys,
+                            "gx": gxs,
+                            "rep": rep,
+                            "val": vals.ravel(),
+                        }
+                    )
+                )
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    lab = with_ridx.mapInPandas(stage_local, _LAB_SCHEMA).persist()
+
+    def boundary_edges(axis: str) -> DataFrame:
+        # axis "x": (gy, gx)-(gy, gx+1) pairs; axis "y": rows below
+        c = "gx" if axis == "x" else "gy"
+        o = "gy" if axis == "x" else "gx"
+        a = lab.filter((F.col(c) + 1) % tile_pitch == 0).select(
+            "raster_id", "band", F.col(o).alias("o"),
+            (F.col(c) + 1).alias("cnext"), F.col("val").alias("va"),
+            F.col("rep").alias("src"),
+        )
+        b = lab.filter(F.col(c) % tile_pitch == 0).select(
+            "raster_id", "band", F.col(o).alias("o"),
+            F.col(c).alias("cnext"), F.col("val").alias("vb"),
+            F.col("rep").alias("dst"),
+        )
+        return (
+            a.join(b, on=["raster_id", "band", "o", "cnext"])
+            .filter(F.col("va") == F.col("vb"))
+            .select("src", "dst")
+        )
+
+    edges = boundary_edges("x").union(boundary_edges("y"))
+    comp = G.connected_components(edges, "src", "dst")
+    out = (
+        lab.join(comp.withColumnRenamed("id", "rep"), on="rep", how="left")
+        .select(
+            "raster_id", "band", "gy", "gx", "val",
+            (
+                F.coalesce(F.col("component"), F.col("rep"))
+                - (F.col("ridx") * F.lit(1 << _PIX_BITS))
+            ).alias("clump"),
+        )
+    )
+    return out
+
+
+def region_sizes(clumped: DataFrame) -> DataFrame:
+    """Cell count and value per region — the rollup half of Region
+    Group (regions are value-uniform, so ``first(val)`` is exact)."""
+    return clumped.groupBy("raster_id", "band", "clump").agg(
+        F.count("*").alias("cells"), F.first("val").alias("val")
+    )
