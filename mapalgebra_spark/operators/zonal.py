@@ -210,3 +210,41 @@ def zonal_top_stats(census: DataFrame) -> DataFrame:
     mnr = ranked.where(F.col("rmin") == 1).select("zone", F.col("val").alias("minority"))
     var = census.groupBy("zone").agg(F.count("*").alias("variety"))
     return maj.join(mnr, "zone").join(var, "zone")
+
+
+def zonal_quantiles(census: DataFrame, probs: list[float]) -> DataFrame:
+    """EXACT per-zone quantiles (linear interpolation, the R type-7 /
+    ``quantile_cont`` convention) derived from a :func:`zonal_census`
+    — never from pixel rows.  The census IS the per-zone exact value
+    distribution, so the k-th order statistic is the first value whose
+    cumulative count exceeds k; quantile p sits at pos = p·(n−1)
+    between order stats ⌊pos⌋ and ⌈pos⌉.
+
+    Scale shape: a cumsum window plus one groupBy over the census's
+    O(zones × categories) rows — pixel-scale data is never shuffled,
+    unlike a naive ``percentile(col)`` over exploded pixels.  Column
+    ``q{100p}`` per requested prob."""
+    from pyspark.sql import Window
+
+    wz = Window.partitionBy("zone").orderBy("val")
+    wall = Window.partitionBy("zone")
+    c = (
+        census.withColumn("cum", F.sum("n").over(wz))
+        .withColumn("tot", F.sum("n").over(wall))
+        .withColumn("cum0", F.col("cum") - F.col("n"))
+    )
+    aggs = []
+    for p in probs:
+        name = f"q{round(p * 100):d}"
+        pos = F.lit(p) * (F.col("tot") - 1)
+        klo, khi = F.floor(pos), F.ceil(pos)
+        # value covering order-stat k: cum0 <= k < cum
+        vlo = F.min(
+            F.when((F.col("cum0") <= klo) & (klo < F.col("cum")), F.col("val"))
+        )
+        vhi = F.min(
+            F.when((F.col("cum0") <= khi) & (khi < F.col("cum")), F.col("val"))
+        )
+        frac = F.max(pos - klo)  # constant per zone
+        aggs.append((vlo + frac * (vhi - vlo)).alias(name))
+    return c.groupBy("zone").agg(*aggs)

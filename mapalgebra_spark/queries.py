@@ -2658,6 +2658,30 @@ def q_zonal_majority(spark, sf_dir):
     return zonal_top_stats(zonal_census(vals, zones))
 
 
+def q_zonal_quantiles(spark, sf_dir):
+    """Exact per-zone quartiles from the census (zonal.zonal_quantiles)
+    vs DuckDB's native quantile_cont — a cross-engine algorithm check
+    (the engine interpolates over census cumulative counts; DuckDB
+    sorts the raw values).  l_quantity is integral and quartile
+    fractions are exact binary, so both sides' doubles agree exactly."""
+    from .operators.zonal import zonal_census, zonal_quantiles
+
+    g, G = grid_df(spark, sf_dir)
+    vals = grid_to_tiles(g, G, "val", "float64", "a")
+    zones = grid_to_tiles(g, G, "zone", "int64", "a")
+    return zonal_quantiles(zonal_census(vals, zones), [0.25, 0.5, 0.75])
+
+
+ORACLE["zonal_quantiles"] = f"""
+WITH {GRID_CTE}
+SELECT zone,
+  quantile_cont(val, 0.25) AS q25,
+  quantile_cont(val, 0.5)  AS q50,
+  quantile_cont(val, 0.75) AS q75
+FROM grid GROUP BY zone
+"""
+
+
 ORACLE["zonal_majority"] = f"""
 WITH {GRID_CTE},
 census AS (SELECT zone, CAST(ival AS DOUBLE) AS val, count(*) AS n
@@ -3122,4 +3146,6 @@ QUERIES = {
     "equalize_grid": q_equalize,
     # r5: region labeling (clump) — local contraction + boundary CC
     "clump_grid": q_clump,
+    # r5: exact zonal quartiles from the census vs native quantile_cont
+    "zonal_quantiles": q_zonal_quantiles,
 }
