@@ -2554,6 +2554,36 @@ FROM s GROUP BY user_id, sid
 """
 
 
+def q_line_dedup(spark, sf_dir):
+    # CCNet-style line-level exact dedup at 3-token lines (~19% of
+    # lines are global repeats at sf0.01 — the op genuinely fires);
+    # pure JVM, skew-safe min-struct winners, no window on line text
+    from .textops import line_dedup
+
+    return line_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), line_tokens=3
+    )
+
+
+ORACLE["line_dedup"] = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+st AS (SELECT doc_id, t, unnest(range(0, len(t), 3)) AS s FROM tk),
+segs AS (SELECT doc_id, CAST(s/3 AS BIGINT) AS li,
+         array_to_string(t[s+1:s+3], ' ') AS lt FROM st),
+win AS (SELECT doc_id, li, lt,
+        row_number() OVER (PARTITION BY lt ORDER BY doc_id, li) AS rn
+        FROM segs),
+keep AS (SELECT doc_id, li, lt FROM win WHERE rn = 1),
+rec AS (SELECT doc_id, count(*) AS kept_lines,
+        string_agg(lt, ' ' ORDER BY li) AS dedup_text
+        FROM keep GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_lines FROM segs GROUP BY doc_id)
+SELECT t.doc_id, t.n_lines, COALESCE(r.kept_lines, 0) AS kept_lines,
+       COALESCE(r.dedup_text, '') AS dedup_text
+FROM tot t LEFT JOIN rec r ON r.doc_id = t.doc_id
+"""
+
+
 def q_doc_chunks(spark, sf_dir):
     # overlapping 64-token context windows, stride 48 — the standard
     # LLM-training chunking step, pure JVM sequence+slice
@@ -3148,4 +3178,6 @@ QUERIES = {
     "clump_grid": q_clump,
     # r5: exact zonal quartiles from the census vs native quantile_cont
     "zonal_quantiles": q_zonal_quantiles,
+    # r5: CCNet-style line-level exact dedup (skew-safe winners)
+    "line_dedup": q_line_dedup,
 }

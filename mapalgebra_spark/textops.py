@@ -756,6 +756,70 @@ def pack_documents(
     )
 
 
+def line_dedup(docs: DataFrame, line_tokens: int = 10) -> DataFrame:
+    """CCNet-style LINE-level exact deduplication, generalized to
+    fixed ``line_tokens``-token lines (the corpus here is single-line
+    word streams; on real text the same pipeline runs with
+    ``split(text, '\\n')`` as the segmenter): every line keeps only its
+    globally FIRST occurrence — smallest (doc_id, line_idx) — and each
+    document is reassembled from its surviving lines.
+
+    Returns (doc_id, n_lines, kept_lines, dedup_text); documents whose
+    every line appeared earlier reassemble to ''.
+
+    Scale shape: pure JVM end-to-end.  The first-occurrence winner per
+    line is ``min(struct(doc_id, line_idx))`` under a groupBy on the
+    line text — partial aggregation collapses even a billion-copy
+    boilerplate line map-side, so there is NO hot-key window and no
+    join of all copies back onto the line text (the usual skew trap in
+    line dedup).  Losers are simply never emitted; reconstruction
+    groups the winners by doc_id."""
+    if line_tokens < 1:
+        raise ValueError(f"need line_tokens >= 1, got {line_tokens}")
+    segs = (
+        docs.select(
+            "doc_id",
+            F.split("text", " ", -1).alias("tk"),
+            F.explode(
+                F.expr(f"sequence(0, size(split(text, ' ', -1)) - 1, {line_tokens})")
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / line_tokens).cast("long").alias("line_idx"),
+            F.concat_ws(
+                " ", F.slice("tk", F.col("s") + 1, line_tokens)
+            ).alias("line_text"),
+        )
+    )
+    winners = (
+        segs.groupBy("line_text")
+        .agg(F.min(F.struct("doc_id", "line_idx")).alias("w"))
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.line_idx").alias("line_idx"),
+            "line_text",
+        )
+    )
+    kept = winners.groupBy("doc_id").agg(
+        F.count("*").alias("kept_lines"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("line_idx", "line_text"))),
+                lambda x: x["line_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+    totals = segs.groupBy("doc_id").agg(F.count("*").alias("n_lines"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        F.coalesce("kept_lines", F.lit(0)).alias("kept_lines"),
+        F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+    )
+
+
 def chunk_documents(docs: DataFrame, size: int = 64, stride: int = 48) -> DataFrame:
     """Split documents into overlapping token-window chunks — the
     standard LLM-training preprocessing step (context windows of

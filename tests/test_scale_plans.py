@@ -196,6 +196,7 @@ def test_textops_have_no_python_stages(spark):
         "lang_id": plan_of(TX.language_id(docs)),
         "fingerprint": plan_of(TX.fingerprint64(docs)),
         "quality": plan_of(TX.quality_scores(docs)),
+        "line_dedup": plan_of(TX.line_dedup(docs, line_tokens=3)),
     }
     for name, plan in plans.items():
         for marker in ("EvalPython", "InPandas", "MapInArrow", "PythonUDF"):

@@ -123,6 +123,51 @@ def test_stream_sessionize_membership_matches_batch_rollup(spark):
 # --- ring_measures (vector geometry, spatial.py r4) --------------------------
 
 
+def test_line_dedup_first_occurrence_wins(spark):
+    from mapalgebra_spark.textops import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),      # lines: "a b", "c d"
+            (1, "c d a b x"),    # lines: "c d"(dup), "a b"(dup), "x"(new)
+        ],
+        "doc_id long, text string",
+    )
+    # doc 0 lines: ["a b", "c d"]; doc 1 lines: ["c d", "a b", "x"]
+    got = {r["doc_id"]: r for r in line_dedup(df, line_tokens=2).collect()}
+    assert got[0]["n_lines"] == 2 and got[0]["kept_lines"] == 2
+    assert got[0]["dedup_text"] == "a b c d"
+    assert got[1]["n_lines"] == 3 and got[1]["kept_lines"] == 1
+    assert got[1]["dedup_text"] == "x"
+
+
+def test_line_dedup_within_doc_and_empty_result(spark):
+    from mapalgebra_spark.textops import line_dedup
+
+    df = spark.createDataFrame(
+        [(0, "p q p q"), (1, "p q")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(df, line_tokens=2).collect()}
+    # doc 0 repeats its own line: second copy dropped
+    assert got[0]["kept_lines"] == 1 and got[0]["dedup_text"] == "p q"
+    # doc 1's only line already seen in doc 0 -> everything dropped
+    assert got[1]["kept_lines"] == 0 and got[1]["dedup_text"] == ""
+
+
+def test_line_dedup_order_preserved_and_validation(spark):
+    from mapalgebra_spark.textops import line_dedup
+
+    df = spark.createDataFrame(
+        [(5, "a a b b a a c c")], "doc_id long, text string"
+    )
+    got = line_dedup(df, line_tokens=2).collect()[0]
+    # lines: "a a","b b","a a"(dup),"c c" -> kept in original order
+    assert got["dedup_text"] == "a a b b c c"
+    with pytest.raises(ValueError):
+        line_dedup(df, line_tokens=0)
+
+
 def test_ring_measures_orientation_and_degenerate(spark):
     from mapalgebra_spark.spatial import ring_measures
 
