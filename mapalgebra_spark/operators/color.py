@@ -209,19 +209,34 @@ def equalize(tr: TileRaster, band: int | None = None) -> TileRaster:
     from ..tiles import TILE_SCHEMA, aux_blobs, encode_block
 
     lut = histogram_values(tr, band=band)
-    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lut = lut.withColumn("cdf", F.sum("count").over(w))
-    tot = lut.agg(F.min("cdf").alias("cdfmin"), F.max("cdf").alias("n"))
-    mapped = lut.crossJoin(F.broadcast(tot)).select(
-        "value",
-        F.when(F.col("n") == F.col("cdfmin"), F.lit(0.0))
-        .otherwise(
-            F.floor(
-                (F.col("cdf") - F.col("cdfmin")) * F.lit(255.0)
-                / (F.col("n") - F.col("cdfmin"))
-            ).cast("double")
+    # all three LUT columns from ONE sorted single-partition pass (the
+    # LUT is tiny by contract — constant partition key silences the
+    # no-partition warning without changing the plan shape); folding
+    # the totals into windows instead of a separate agg + crossJoin
+    # keeps the histogram subtree in the plan exactly once
+    wcum = (
+        Window.partitionBy(F.lit(0)).orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = (
+        Window.partitionBy(F.lit(0)).orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    mapped = (
+        lut.withColumn("cdf", F.sum("count").over(wcum))
+        .withColumn("cdfmin", F.min("cdf").over(wall))
+        .withColumn("n", F.max("cdf").over(wall))
+        .select(
+            "value",
+            F.when(F.col("n") == F.col("cdfmin"), F.lit(0.0))
+            .otherwise(
+                F.floor(
+                    (F.col("cdf") - F.col("cdfmin")) * F.lit(255.0)
+                    / (F.col("n") - F.col("cdfmin"))
+                ).cast("double")
+            )
+            .alias("eq"),
         )
-        .alias("eq"),
     )
     lut_row = mapped.agg(
         F.collect_list(F.struct(F.col("value"), F.col("eq"))).alias("_lut")

@@ -108,7 +108,10 @@ def clump(tr: TileRaster, tile_pitch: int = 256) -> DataFrame:
         src.select("raster_id", "band").distinct()
         .withColumn(
             "ridx",
-            F.row_number().over(Window.orderBy("raster_id", "band")).cast("long") - 1,
+            F.row_number().over(
+                # one row per raster-band: single-partition by design
+                Window.partitionBy(F.lit(0)).orderBy("raster_id", "band")
+            ).cast("long") - 1,
         )
     )
     with_ridx = src.join(F.broadcast(dim), on=["raster_id", "band"])
