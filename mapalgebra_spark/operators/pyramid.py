@@ -41,6 +41,86 @@ def _shrink2(a: np.ndarray) -> np.ndarray:
     return out.astype(a.dtype) if np.issubdtype(np.asarray(a).dtype, np.integer) else out
 
 
+_BLOCK_STATS = ("mean", "sum", "min", "max")
+
+
+def block_stats(tr: TileRaster, k: int, stat: str = "mean",
+                tile_pitch: int = 256) -> TileRaster:
+    """Block statistics (GDAL ``-outsize``/ESRI *Aggregate*): every
+    k×k block collapses to its mean/sum/min/max, producing a k×
+    smaller raster that stays a first-class TileRaster (focal ops,
+    zonal, colorize all compose over it).
+
+    ``k`` must divide the tile pitch, so blocks NEVER straddle tiles
+    and the whole op is ONE narrow mapInPandas — no shuffle at all
+    (the 2× pyramid needs its quadrant merge only because successive
+    halvings re-key the tile grid; a single k× aggregate does not).
+    Edge blocks at the raster boundary aggregate their (ceil-div)
+    partial footprint, the standard overview convention.  Mean output
+    is float64 (sum and count are exact on integral inputs; the one
+    division is correctly rounded — the oracle's AVG matches
+    bit-for-bit); sum is float64; min/max keep the input dtype."""
+    import math
+
+    if k < 1 or tile_pitch % k != 0:
+        raise ValueError(f"k must divide tile_pitch, got k={k} pitch={tile_pitch}")
+    if stat not in _BLOCK_STATS:
+        raise ValueError(f"stat must be one of {_BLOCK_STATS}, got {stat!r}")
+    src = tr.strict().df
+    kk = k
+
+    def agg(batches):
+        from ..tiles import AUX_COLS
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for r in range(len(pdf)):
+                row = pdf.iloc[r]
+                h, w = int(row["h"]), int(row["w"])
+                a = decode_block(row["tile"], row["dtype"], h, w, int(row["planes"]))
+                iy = np.arange(0, h, kk)
+                ix = np.arange(0, w, kk)
+                if stat in ("mean", "sum"):
+                    af = a.astype(np.float64)
+                    s = np.add.reduceat(np.add.reduceat(af, iy, axis=-2), ix, axis=-1)
+                    if stat == "mean":
+                        cy = np.diff(np.append(iy, h)).astype(np.float64)
+                        cx = np.diff(np.append(ix, w)).astype(np.float64)
+                        s = s / np.multiply.outer(cy, cx)
+                    small = s
+                elif stat == "min":
+                    small = np.minimum.reduceat(
+                        np.minimum.reduceat(a, iy, axis=-2), ix, axis=-1
+                    )
+                else:
+                    small = np.maximum.reduceat(
+                        np.maximum.reduceat(a, iy, axis=-2), ix, axis=-1
+                    )
+                d = dict(
+                    raster_id=row["raster_id"],
+                    band=int(row["band"]),
+                    ty=int(row["ty"]),
+                    tx=int(row["tx"]),
+                    h=small.shape[-2],
+                    w=small.shape[-1],
+                    nty=int(row["nty"]),
+                    ntx=int(row["ntx"]),
+                    rh=math.ceil(int(row["rh"]) / kk),
+                    rw=math.ceil(int(row["rw"]) / kk),
+                    dtype=str(small.dtype),
+                    planes=int(row["planes"]),
+                    cell_id=int(row["cell_id"]),
+                    tile=encode_block(small),
+                )
+                d.update(aux_blobs(small))
+                rows.append(d)
+            yield pd.DataFrame(rows)[[f.name for f in TILE_SCHEMA.fields]]
+
+    return TileRaster(src.mapInPandas(agg, TILE_SCHEMA))
+
+
 def downsample2(tr: TileRaster, tile_size: int = 256) -> TileRaster:
     """One pyramid level: raster dims halve (ceil), tile grid re-keyed.
 

@@ -2688,6 +2688,27 @@ def q_zonal_majority(spark, sf_dir):
     return zonal_top_stats(zonal_census(vals, zones))
 
 
+def q_block_stats(spark, sf_dir):
+    """Arbitrary-factor block aggregation (pyramid.block_stats, k=4
+    mean): blocks never straddle tiles (k divides the pitch), so the
+    whole op is one shuffle-free mapInPandas.  Exact: integral sums,
+    one correctly-rounded division — matches SQL AVG bit-for-bit."""
+    from .gridq import GRID_TILE
+    from .operators import pyramid as P
+
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    out = P.block_stats(tr, 4, "mean", tile_pitch=GRID_TILE)
+    return tiles_to_rows(out, "m", tile_pitch=GRID_TILE // 4)
+
+
+ORACLE["block_stats"] = f"""
+WITH {GRID_CTE}
+SELECT CAST(gy // 4 AS INT) AS gy, CAST(gx // 4 AS INT) AS gx,
+       avg(val) AS m
+FROM grid GROUP BY 1, 2
+"""
+
+
 def q_zonal_quantiles(spark, sf_dir):
     """Exact per-zone quartiles from the census (zonal.zonal_quantiles)
     vs DuckDB's native quantile_cont — a cross-engine algorithm check
@@ -3180,4 +3201,6 @@ QUERIES = {
     "zonal_quantiles": q_zonal_quantiles,
     # r5: CCNet-style line-level exact dedup (skew-safe winners)
     "line_dedup": q_line_dedup,
+    # r5: arbitrary-factor block aggregation (shuffle-free)
+    "block_stats": q_block_stats,
 }

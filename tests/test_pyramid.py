@@ -93,3 +93,46 @@ def test_upsample_then_downsample_identity_nearest(spark):
     tr = TileRaster.from_arrays(spark, {"r": arr}, tile_size=8)
     round_trip = P.downsample2(P.upsample2(tr, "nearest"), 8).collect_array("r")
     np.testing.assert_allclose(round_trip, arr)
+
+
+def test_block_stats_matches_numpy(spark):
+    import math
+    from mapalgebra_spark.operators.pyramid import block_stats
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 50, size=(37, 53)).astype(np.float64)  # ceil edges
+    tr = TileRaster.from_arrays(spark, {"r": a}, tile_size=16)
+    for stat in ("mean", "sum", "min", "max"):
+        got = block_stats(tr, 4, stat, tile_pitch=16).collect_array("r")
+        H, W = math.ceil(37 / 4), math.ceil(53 / 4)
+        exp = np.zeros((H, W))
+        for i in range(H):
+            for j in range(W):
+                blk = a[i * 4 : i * 4 + 4, j * 4 : j * 4 + 4]
+                exp[i, j] = dict(
+                    mean=blk.mean(), sum=blk.sum(), min=blk.min(), max=blk.max()
+                )[stat]
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_block_stats_validation_and_focal_composition(spark):
+    from mapalgebra_spark.operators import focal as FO
+    from mapalgebra_spark.operators.pyramid import block_stats
+
+    rng = np.random.default_rng(10)
+    a = rng.integers(0, 9, size=(32, 32)).astype(np.float64)
+    tr = TileRaster.from_arrays(spark, {"r": a}, tile_size=16)
+    with pytest.raises(ValueError):
+        block_stats(tr, 3, "mean", tile_pitch=16)  # 3 does not divide 16
+    with pytest.raises(ValueError):
+        block_stats(tr, 4, "median", tile_pitch=16)
+    # aggregated raster is focal-ready (aux strips rebuilt)
+    small = block_stats(tr, 4, "max", tile_pitch=16)
+    got = FO.focal(small, "fmin").collect_array("r")
+    ref = a.reshape(8, 4, 8, 4).max(axis=(1, 3))
+    pad = np.pad(ref, 1, mode="edge")
+    exp = np.min(
+        np.stack([pad[i : i + 8, j : j + 8] for i in range(3) for j in range(3)]),
+        axis=0,
+    )
+    np.testing.assert_array_equal(got, exp)
