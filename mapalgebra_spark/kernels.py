@@ -442,6 +442,44 @@ def k_fhillshade(p: np.ndarray) -> np.ndarray:
     return np.where(cang <= 0.0, 1.0, 1.0 + 254.0 * cang)
 
 
+#: D8 neighbour order (nw..se, row-major, focus skipped) and offsets —
+#: also the TIE-BREAK order: the first direction reaching the best
+#: slope key wins, matching the oracle's ORDER BY key DESC, ord ASC
+#: over ord = (dy+1)*3 + (dx+1) (monotone in this sequence).
+D8_OFFSETS = (
+    (-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)
+)
+
+
+def k_flowdir(p: np.ndarray) -> np.ndarray:
+    """D8 flow direction: the neighbour with the steepest positive
+    downhill slope (drop / distance).  Comparing drop/1 vs drop/√2
+    EXACTLY: for positive drops, slope_straight > slope_diag ⇔
+    2·ds² > dd², so the selection key is 2·drop² (straight) or drop²
+    (diagonal) — integer-exact on integral elevations, no sqrt, no
+    irrational anywhere, which is what lets a relational oracle pick
+    the identical neighbour.  (2·ds² = dd² has no nonzero integer
+    solutions, so straight/diagonal key ties cannot occur; same-type
+    ties fall to the fixed D8_OFFSETS order.)  Returns the direction
+    index 0..7 per cell, −1 for pits/flats (no positive drop).
+    Border: Fill +inf — off-raster neighbours never receive flow."""
+    nw, no, ne, we, fo, ea, sw, so, se = shifts(p)
+    dirs = (nw, no, ne, we, ea, sw, so, se)
+    best = np.full(fo.shape, -1.0)
+    out = np.full(fo.shape, -1.0)
+    for i, nb in enumerate(dirs):
+        with np.errstate(invalid="ignore"):
+            drop = fo - nb
+            straight = D8_OFFSETS[i][0] == 0 or D8_OFFSETS[i][1] == 0
+            key = np.where(
+                drop > 0, drop * drop * (2.0 if straight else 1.0), -1.0
+            )
+        upd = key > best
+        best = np.where(upd, key, best)
+        out = np.where(upd, float(i), out)
+    return out
+
+
 def k_fpercentage(p: np.ndarray) -> np.ndarray:
     """Fraction of the 8 neighbours equal to the focus, /8, border
     Continue (MA:828-838)."""

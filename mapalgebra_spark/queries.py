@@ -2688,6 +2688,55 @@ def q_zonal_majority(spark, sf_dir):
     return zonal_top_stats(zonal_census(vals, zones))
 
 
+def q_flow_accumulation(spark, sf_dir):
+    """D8 flow accumulation (operators/hydro.py): integer-exact
+    steepest-descent direction (no sqrt — squared-drop keys), edges
+    exploded tile-locally, ancestor closure by path doubling (O(log
+    depth) rounds).  Oracle: the same key picks the same neighbour
+    relationally; a recursive CTE walks the flow DAG and counts
+    upstream cells."""
+    from .gridq import GRID_TILE
+    from .operators import hydro as HY
+
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    return HY.flow_accumulation(tr, tile_pitch=GRID_TILE)
+
+
+ORACLE["flow_accumulation"] = f"""
+WITH RECURSIVE {GRID_CTE}, {_COORDS_FILL},
+cand AS (
+  SELECT c.gy, c.gx, c.dy, c.dx,
+    CASE WHEN c.dy = 0 OR c.dx = 0
+         THEN 2*(g2.val - n.val)*(g2.val - n.val)
+         ELSE (g2.val - n.val)*(g2.val - n.val) END AS key,
+    (c.dy+1)*3 + (c.dx+1) AS ord
+  {_JOIN_INNER}
+  JOIN grid g2 ON g2.gy = c.gy AND g2.gx = c.gx
+  WHERE NOT (c.dy = 0 AND c.dx = 0) AND g2.val > n.val
+),
+pick AS (
+  SELECT gy, gx, dy, dx,
+    row_number() OVER (PARTITION BY gy, gx ORDER BY key DESC, ord ASC) AS rn
+  FROM cand
+),
+e AS (
+  SELECT CAST(p.gy AS BIGINT) * d.g + p.gx AS u,
+         CAST(p.gy + p.dy AS BIGINT) * d.g + (p.gx + p.dx) AS v
+  FROM pick p CROSS JOIN dims d WHERE p.rn = 1
+),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON e2.u = r.v
+),
+px AS (SELECT gy, gx, CAST(gy AS BIGINT) * d.g + gx AS id
+       FROM grid CROSS JOIN dims d)
+SELECT p.gy, p.gx, 1 + COALESCE(m.c, 0) AS acc
+FROM px p LEFT JOIN (SELECT v, count(*) AS c FROM reach GROUP BY v) m
+  ON m.v = p.id
+"""
+
+
 def q_block_stats(spark, sf_dir):
     """Arbitrary-factor block aggregation (pyramid.block_stats, k=4
     mean): blocks never straddle tiles (k divides the pitch), so the
@@ -3203,4 +3252,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     # r5: arbitrary-factor block aggregation (shuffle-free)
     "block_stats": q_block_stats,
+    # r5: D8 flow accumulation — the global hydrology op (path-doubled
+    # ancestor closure over the steepest-descent DAG)
+    "flow_accumulation": q_flow_accumulation,
 }
