@@ -151,18 +151,43 @@ def ancestor_closure(edges: DataFrame, max_iters: int = 30) -> DataFrame:
         spark.conf.set(cp_key, cp_old)
 
 
-def flow_accumulation(tr: TileRaster, tile_pitch: int = 256) -> DataFrame:
-    """D8 flow accumulation: rows (gy, gx, acc) where acc counts the
-    cells draining through each cell, INCLUDING itself (so every cell
-    is ≥ 1 — ESRI's convention excludes self; subtract 1 for that).
-    See the module docstring for the distributed shape."""
+def flow_analysis(tr: TileRaster, tile_pitch: int = 256) -> DataFrame:
+    """D8 flow accumulation + watershed labeling from ONE ancestor
+    closure: rows (gy, gx, acc, basin) where
+
+    * ``acc`` counts the cells draining through each cell, INCLUDING
+      itself (every cell ≥ 1 — ESRI's convention excludes self;
+      subtract 1 for that), and
+    * ``basin`` is the cell id (gy·rw + gx) of the PIT each cell's
+      flow path terminates at (pits label themselves) — the Basin /
+      Watershed op.  Strictly-positive drops make every path end at a
+      pit, so each cell has exactly one basin.
+
+    See the module docstring for the distributed shape; the watershed
+    half is one extra semi-join of the closure against the pit set."""
     rows = _dir_rows(flow_direction(tr), tile_pitch).persist()
     edges = rows.filter(F.col("v") >= 0).select("u", "v")
     closure = ancestor_closure(edges)
     counts = closure.groupBy("v").agg(F.count("*").alias("c")).select(
         F.col("v").alias("_tid"), "c"
     )
-    return rows.join(counts, rows["u"] == counts["_tid"], "left").select(
-        "gy", "gx",
-        (F.lit(1) + F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("acc"),
+    pits = rows.filter(F.col("v") < 0).select(F.col("u").alias("_pit"))
+    basins = closure.join(
+        pits, closure["v"] == pits["_pit"]
+    ).select(F.col("u").alias("_bu"), F.col("v").alias("_basin"))
+    return (
+        rows.join(counts, rows["u"] == counts["_tid"], "left")
+        .join(basins, rows["u"] == basins["_bu"], "left")
+        .select(
+            "gy", "gx",
+            (F.lit(1) + F.coalesce(F.col("c"), F.lit(0)))
+            .cast("long").alias("acc"),
+            F.coalesce(F.col("_basin"), F.col("u")).alias("basin"),
+        )
     )
+
+
+def flow_accumulation(tr: TileRaster, tile_pitch: int = 256) -> DataFrame:
+    """D8 flow accumulation alone: rows (gy, gx, acc) — see
+    :func:`flow_analysis`."""
+    return flow_analysis(tr, tile_pitch).select("gy", "gx", "acc")

@@ -2689,17 +2689,18 @@ def q_zonal_majority(spark, sf_dir):
 
 
 def q_flow_accumulation(spark, sf_dir):
-    """D8 flow accumulation (operators/hydro.py): integer-exact
-    steepest-descent direction (no sqrt — squared-drop keys), edges
-    exploded tile-locally, ancestor closure by path doubling (O(log
-    depth) rounds).  Oracle: the same key picks the same neighbour
-    relationally; a recursive CTE walks the flow DAG and counts
-    upstream cells."""
+    """D8 flow accumulation + watershed (operators/hydro.py): integer-
+    exact steepest-descent direction (no sqrt — squared-drop keys),
+    edges exploded tile-locally, ancestor closure by path doubling
+    (O(log depth) rounds); basins are one extra semi-join of the same
+    closure against the pit set.  Oracle: the same key picks the same
+    neighbour relationally; a recursive CTE walks the flow DAG,
+    counts upstream cells, and reads each path's terminal pit."""
     from .gridq import GRID_TILE
     from .operators import hydro as HY
 
     tr, _, _ = _val_tiles(spark, sf_dir)
-    return HY.flow_accumulation(tr, tile_pitch=GRID_TILE)
+    return HY.flow_analysis(tr, tile_pitch=GRID_TILE)
 
 
 ORACLE["flow_accumulation"] = f"""
@@ -2731,9 +2732,14 @@ reach AS (
 ),
 px AS (SELECT gy, gx, CAST(gy AS BIGINT) * d.g + gx AS id
        FROM grid CROSS JOIN dims d)
-SELECT p.gy, p.gx, 1 + COALESCE(m.c, 0) AS acc
-FROM px p LEFT JOIN (SELECT v, count(*) AS c FROM reach GROUP BY v) m
+SELECT p.gy, p.gx, 1 + COALESCE(m.c, 0) AS acc,
+       COALESCE(b.basin, p.id) AS basin
+FROM px p
+LEFT JOIN (SELECT v, count(*) AS c FROM reach GROUP BY v) m
   ON m.v = p.id
+LEFT JOIN (SELECT r.u, r.v AS basin FROM reach r
+           WHERE r.v NOT IN (SELECT u FROM e)) b
+  ON b.u = p.id
 """
 
 

@@ -44,6 +44,18 @@ def brute_acc(par: np.ndarray) -> np.ndarray:
     return acc.reshape(h, w)
 
 
+def brute_basin(par: np.ndarray) -> np.ndarray:
+    h, w = par.shape
+    p = par.ravel()
+    out = np.empty(h * w, dtype=np.int64)
+    for s in range(h * w):
+        cur = s
+        while p[cur] >= 0:
+            cur = p[cur]
+        out[s] = cur
+    return out.reshape(h, w)
+
+
 def _acc_array(spark, a, tile):
     tr = TileRaster.from_arrays(spark, {"r": a.astype(np.float64)}, tile_size=tile)
     out = np.full(a.shape, -1, dtype=np.int64)
@@ -68,11 +80,18 @@ def test_flowdir_kernel_matches_brute():
                 assert (i + dy) * w + (j + dx) == par[i, j]
 
 
-def test_flow_accumulation_matches_brute(spark):
+def test_flow_accumulation_and_basin_match_brute(spark):
     rng = np.random.default_rng(13)
     a = rng.integers(0, 50, size=(30, 40)).astype(np.float64)
-    got = _acc_array(spark, a, tile=16)  # multi-tile: cross-tile paths
-    np.testing.assert_array_equal(got, brute_acc(brute_d8(a)))
+    tr = TileRaster.from_arrays(spark, {"r": a}, tile_size=16)
+    acc = np.full(a.shape, -1, dtype=np.int64)
+    basin = np.full(a.shape, -1, dtype=np.int64)
+    for r in HY.flow_analysis(tr, tile_pitch=16).collect():
+        acc[r["gy"], r["gx"]] = r["acc"]
+        basin[r["gy"], r["gx"]] = r["basin"]
+    par = brute_d8(a)
+    np.testing.assert_array_equal(acc, brute_acc(par))
+    np.testing.assert_array_equal(basin, brute_basin(par))
 
 
 def test_flow_accumulation_ramp_concentrates(spark):
