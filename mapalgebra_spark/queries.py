@@ -2743,6 +2743,43 @@ LEFT JOIN (SELECT r.u, r.v AS basin FROM reach r
 """
 
 
+def q_cluster_points(spark, sf_dir):
+    """Planar ε-clustering (single-linkage / DBSCAN minPts=1) of the
+    customer point set via the grid method (spatial.cluster_points):
+    eps-sized buckets → 3×3 explode → one equi-join → exact d²
+    filter → connected components.  The oracle does the QUADRATIC
+    pair join (fine at sf0.01) + recursive closure — a different
+    candidate-generation algorithm, so agreement checks the grid
+    method found every ≤eps pair."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    pts = c.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 37 % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 35900) / 100.0 - 179.5).alias("lng"),
+    )
+    return SP.cluster_points(pts, 2.0, id_col="pid")
+
+
+ORACLE["cluster_points"] = """
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS pid,
+         (c_custkey * 37 % 17000) / 100.0 - 85.0 AS la,
+         (c_custkey * 73 % 35900) / 100.0 - 179.5 AS lo
+  FROM customer),
+e0 AS (
+  SELECT a.pid AS u, b.pid AS v FROM pts a JOIN pts b ON a.pid < b.pid
+  WHERE (a.la - b.la)*(a.la - b.la) + (a.lo - b.lo)*(a.lo - b.lo) <= 4.0
+),
+sym AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+reach AS (
+  SELECT pid AS id, pid AS r FROM pts
+  UNION
+  SELECT s.v AS id, re.r FROM reach re JOIN sym s ON s.u = re.id
+)
+SELECT id AS pid, min(r) AS cluster FROM reach GROUP BY id
+"""
+
+
 def q_block_stats(spark, sf_dir):
     """Arbitrary-factor block aggregation (pyramid.block_stats, k=4
     mean): blocks never straddle tiles (k divides the pitch), so the
@@ -3261,4 +3298,7 @@ QUERIES = {
     # r5: D8 flow accumulation — the global hydrology op (path-doubled
     # ancestor closure over the steepest-descent DAG)
     "flow_accumulation": q_flow_accumulation,
+    # r5: planar ε-clustering via the DBSCAN grid method + CC,
+    # checked against a quadratic-join + closure oracle
+    "cluster_points": q_cluster_points,
 }

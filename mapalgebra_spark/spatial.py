@@ -642,3 +642,84 @@ def ring_measures(polygons: DataFrame, id_col: str = "poly_id") -> DataFrame:
         F.when(F.col("signed_area") != 0.0,
                F.col("scy") / (6.0 * F.col("signed_area"))).alias("centroid_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# epsilon-clustering of point sets (single-linkage / DBSCAN minPts=1)
+# ---------------------------------------------------------------------------
+
+
+def cluster_points(
+    points: DataFrame,
+    eps: float,
+    id_col: str = "point_id",
+    lat: str = "lat",
+    lng: str = "lng",
+) -> DataFrame:
+    """Single-linkage ε-clustering of a planar point set (= DBSCAN
+    with minPts=1): two points link when their planar distance is
+    ≤ eps; clusters are the transitive closure.  Returns
+    ``(id_col, cluster)`` with ``cluster`` = the smallest member id
+    (ids must be integral — the CC layer's contract).
+
+    Scale shape — the grid method, never all-pairs: points bucket
+    into eps-sized cells (``floor(coord/eps)``), each point explodes
+    to its 3×3 bucket neighbourhood (9 small rows), and candidate
+    pairs come from ONE equi-join on the bucket key, exact-filtered
+    by squared distance (no sqrt; ``d² ≤ eps²`` with both sides'
+    doubles computed in the same op order, so a relational oracle
+    agrees exactly).  A pair is generated once: the left side
+    explodes, the right stays home, and ``id_a < id_b`` dedupes the
+    two directions.  The edge list then feeds the alternating
+    large-star/small-star connected components (O(log n) rounds,
+    skew-safe).  Pair volume is O(points × local density), the
+    DBSCAN-grid bound."""
+    if eps <= 0:
+        raise ValueError(f"need eps > 0, got {eps}")
+    base = points.select(
+        F.col(id_col).cast("long").alias("pid"),
+        F.col(lat).alias("la"),
+        F.col(lng).alias("lo"),
+        F.floor(F.col(lat) / eps).cast("long").alias("by"),
+        F.floor(F.col(lng) / eps).cast("long").alias("bx"),
+    )
+    left = (
+        base.select(
+            F.col("pid").alias("pa"), F.col("la").alias("laa"),
+            F.col("lo").alias("loa"), "by", "bx",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dy"),
+        )
+        .select(
+            "pa", "laa", "loa", "by", "bx", "dy",
+            F.explode(F.expr("sequence(-1, 1)")).alias("dx"),
+        )
+        .select(
+            "pa", "laa", "loa",
+            (F.col("by") + F.col("dy")).alias("qy"),
+            (F.col("bx") + F.col("dx")).alias("qx"),
+        )
+    )
+    right = base.select(
+        F.col("pid").alias("pb"), F.col("la").alias("lab"),
+        F.col("lo").alias("lob"),
+        F.col("by").alias("qy"), F.col("bx").alias("qx"),
+    )
+    d2 = (
+        (F.col("laa") - F.col("lab")) * (F.col("laa") - F.col("lab"))
+        + (F.col("loa") - F.col("lob")) * (F.col("loa") - F.col("lob"))
+    )
+    pairs = (
+        left.join(right, on=["qy", "qx"])
+        .filter((F.col("pa") < F.col("pb")) & (d2 <= F.lit(eps) * F.lit(eps)))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    from .graph import connected_components
+
+    comp = connected_components(pairs, "src", "dst")
+    return (
+        base.join(comp.withColumnRenamed("id", "pid"), on="pid", how="left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.coalesce("component", "pid").alias("cluster"),
+        )
+    )
