@@ -163,6 +163,10 @@ def flow_analysis(tr: TileRaster, tile_pitch: int = 256) -> DataFrame:
       Watershed op.  Strictly-positive drops make every path end at a
       pit, so each cell has exactly one basin.
 
+    Also carries ``cell`` (the cell's own gy·rw+gx id) and ``down``
+    (the downstream cell id, −1 for pits) so downstream consumers —
+    :func:`stream_network` — stay purely relational.
+
     See the module docstring for the distributed shape; the watershed
     half is one extra semi-join of the closure against the pit set."""
     rows = _dir_rows(flow_direction(tr), tile_pitch).persist()
@@ -180,11 +184,31 @@ def flow_analysis(tr: TileRaster, tile_pitch: int = 256) -> DataFrame:
         .join(basins, rows["u"] == basins["_bu"], "left")
         .select(
             "gy", "gx",
+            F.col("u").alias("cell"),
+            F.col("v").alias("down"),
             (F.lit(1) + F.coalesce(F.col("c"), F.lit(0)))
             .cast("long").alias("acc"),
             F.coalesce(F.col("_basin"), F.col("u")).alias("basin"),
         )
     )
+
+
+def stream_network(fa: DataFrame, threshold: int) -> DataFrame:
+    """Stream extraction: the D8 links whose SOURCE cell accumulates at
+    least ``threshold`` cells — the standard acc-threshold stream
+    definition.  (A stream cell's downstream neighbour accumulates at
+    least as much, so segments chain into connected polylines by
+    construction.)  Input is :func:`flow_analysis` output; this is one
+    filter + one self equi-join, no pixel recompute.  Returns
+    (gy, gx, gy2, gx2, acc) segments."""
+    a = fa.filter((F.col("acc") >= threshold) & (F.col("down") >= 0)).select(
+        "gy", "gx", "acc", "down"
+    )
+    b = fa.select(
+        F.col("cell").alias("_c"),
+        F.col("gy").alias("gy2"), F.col("gx").alias("gx2"),
+    )
+    return a.join(b, a["down"] == b["_c"]).select("gy", "gx", "gy2", "gx2", "acc")
 
 
 def flow_accumulation(tr: TileRaster, tile_pitch: int = 256) -> DataFrame:

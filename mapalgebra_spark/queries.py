@@ -2700,7 +2700,9 @@ def q_flow_accumulation(spark, sf_dir):
     from .operators import hydro as HY
 
     tr, _, _ = _val_tiles(spark, sf_dir)
-    return HY.flow_analysis(tr, tile_pitch=GRID_TILE)
+    return HY.flow_analysis(tr, tile_pitch=GRID_TILE).select(
+        "gy", "gx", "acc", "basin"
+    )
 
 
 ORACLE["flow_accumulation"] = f"""
@@ -2740,6 +2742,57 @@ LEFT JOIN (SELECT v, count(*) AS c FROM reach GROUP BY v) m
 LEFT JOIN (SELECT r.u, r.v AS basin FROM reach r
            WHERE r.v NOT IN (SELECT u FROM e)) b
   ON b.u = p.id
+"""
+
+
+def q_stream_network(spark, sf_dir):
+    """Stream extraction (hydro.stream_network): D8 links whose source
+    accumulates ≥ 25 cells — one filter + one self equi-join over the
+    flow_analysis output.  Oracle: the flow CTE plus a threshold join
+    (bit-exact integers throughout)."""
+    from .gridq import GRID_TILE
+    from .operators import hydro as HY
+
+    tr, _, _ = _val_tiles(spark, sf_dir)
+    return HY.stream_network(HY.flow_analysis(tr, tile_pitch=GRID_TILE), 25)
+
+
+ORACLE["stream_network"] = f"""
+WITH RECURSIVE {GRID_CTE}, {_COORDS_FILL},
+cand AS (
+  SELECT c.gy, c.gx, c.dy, c.dx,
+    CASE WHEN c.dy = 0 OR c.dx = 0
+         THEN 2*(g2.val - n.val)*(g2.val - n.val)
+         ELSE (g2.val - n.val)*(g2.val - n.val) END AS key,
+    (c.dy+1)*3 + (c.dx+1) AS ord
+  {_JOIN_INNER}
+  JOIN grid g2 ON g2.gy = c.gy AND g2.gx = c.gx
+  WHERE NOT (c.dy = 0 AND c.dx = 0) AND g2.val > n.val
+),
+pick AS (
+  SELECT gy, gx, dy, dx,
+    row_number() OVER (PARTITION BY gy, gx ORDER BY key DESC, ord ASC) AS rn
+  FROM cand
+),
+e AS (
+  SELECT CAST(p.gy AS BIGINT) * d.g + p.gx AS u,
+         CAST(p.gy + p.dy AS BIGINT) * d.g + (p.gx + p.dx) AS v
+  FROM pick p CROSS JOIN dims d WHERE p.rn = 1
+),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON e2.u = r.v
+),
+px AS (SELECT gy, gx, CAST(gy AS BIGINT) * d.g + gx AS id
+       FROM grid CROSS JOIN dims d),
+fl AS (SELECT p.gy, p.gx, p.id, 1 + COALESCE(m.c, 0) AS acc
+       FROM px p LEFT JOIN (SELECT v, count(*) AS c FROM reach GROUP BY v) m
+         ON m.v = p.id)
+SELECT s.gy, s.gx, t.gy AS gy2, t.gx AS gx2, s.acc
+FROM (SELECT a.gy, a.gx, a.acc, e.v FROM fl a
+      JOIN e ON e.u = a.id WHERE a.acc >= 25) s
+JOIN px t ON t.id = s.v
 """
 
 
@@ -3301,4 +3354,6 @@ QUERIES = {
     # r5: planar ε-clustering via the DBSCAN grid method + CC,
     # checked against a quadratic-join + closure oracle
     "cluster_points": q_cluster_points,
+    # r5: stream extraction (acc-threshold links over flow_analysis)
+    "stream_network": q_stream_network,
 }

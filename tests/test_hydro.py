@@ -107,3 +107,23 @@ def test_flat_raster_is_all_pits(spark):
     a = np.full((6, 6), 5.0)
     got = _acc_array(spark, a, tile=4)
     np.testing.assert_array_equal(got, np.ones((6, 6), dtype=np.int64))
+
+
+def test_stream_network_threshold_and_chaining(spark):
+    # ramp z = x + y: acc concentrates along the top row / left column
+    # toward (0,0); thresholding keeps only high-acc links and every
+    # segment's target is itself a stream cell or the outlet
+    i = np.arange(8, dtype=np.float64)
+    a = i[None, :] + i[:, None]
+    tr = TileRaster.from_arrays(spark, {"r": a}, tile_size=4)
+    fa = HY.flow_analysis(tr, tile_pitch=4)
+    segs = HY.stream_network(fa, threshold=8).collect()
+    assert len(segs) > 0
+    acc = {(r["gy"], r["gx"]): r["acc"] for r in fa.collect()}
+    for s in segs:
+        assert s["acc"] >= 8
+        assert acc[(s["gy"], s["gx"])] == s["acc"]
+        # downhill: strictly decreasing elevation along each segment
+        assert a[s["gy2"], s["gx2"]] < a[s["gy"], s["gx"]]
+        # target accumulates at least as much as the source
+        assert acc[(s["gy2"], s["gx2"])] >= s["acc"]
