@@ -349,3 +349,33 @@ def test_interval_join_no_bnlj(spark):
         .collect()
     }
     assert got == exact and len(got) > 0
+
+
+def test_block_stats_is_shuffle_free(spark):
+    """block_stats claims ONE narrow mapInPandas with no shuffle (k
+    divides the pitch, so blocks never straddle tiles) — pin it."""
+    import numpy as np
+
+    from mapalgebra_spark.operators.pyramid import block_stats
+    from mapalgebra_spark.raster import TileRaster
+
+    a = np.arange(64 * 64, dtype=np.float64).reshape(64, 64)
+    tr = TileRaster.from_arrays(spark, {"r": a}, tile_size=32)
+    plan = plan_of(block_stats(tr, 4, "mean", tile_pitch=32).df)
+    assert "Exchange" not in plan, plan
+
+
+def test_cluster_points_has_no_cartesian_or_bnlj(spark):
+    """The grid method's candidate join must be a hash equi-join on the
+    bucket key — never a cross/nested-loop pair enumeration."""
+    from mapalgebra_spark import spatial as SP
+
+    pts = spark.createDataFrame(
+        [(i, float(i % 7), float(i % 11)) for i in range(1, 60)],
+        "point_id long, lat double, lng double",
+    )
+    # the CC loop itself is iterative and already covered by test_graph
+    df = SP.cluster_points(pts, 2.0)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
