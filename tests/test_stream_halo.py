@@ -19,8 +19,9 @@ from mapalgebra_spark.tiles import TILE_SCHEMA, tile_rows_from_array
 pytestmark = pytest.mark.spark
 
 #: every border mode is hit: fill (fsum/fmean), edge (fmax), continue
-#: (fmajority), reflect (fgradient/fshape)
-OPS = ["fsum", "fmean", "fmax", "fmajority", "fgradient", "fshape"]
+#: (fmajority, fhillshade — the r5 Horn pair rides the same mode),
+#: reflect (fgradient/fshape)
+OPS = ["fsum", "fmean", "fmax", "fmajority", "fhillshade", "fgradient", "fshape"]
 
 
 def _canon(outs):
