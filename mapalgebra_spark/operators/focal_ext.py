@@ -130,6 +130,33 @@ def k_rrank(p, r):
     return 1.0 + (_win(p, r) < _focus(p, r)[..., None, None]).sum(axis=(2, 3))
 
 
+def _disc_mask(r: int) -> np.ndarray:
+    """(2r+1)² boolean disc: cell (dy,dx) included iff dy²+dx² ≤ r²
+    (the GRASS ``r.neighbors -c`` circular-window convention; r=2
+    keeps 13 of 25 cells)."""
+    dy, dx = np.mgrid[-r : r + 1, -r : r + 1]
+    return (dy * dy + dx * dx) <= r * r
+
+
+def k_rsum_disc(p, r):
+    # Fill-0 border composes with the mask: excluded cells and
+    # off-raster pad both contribute exactly 0
+    return (_win(p, r) * _disc_mask(r)).sum(axis=(2, 3))
+
+
+def k_rmean_disc(p, r):
+    m = _disc_mask(r)
+    return (_win(p, r) * m).sum(axis=(2, 3)) / float(m.sum())
+
+
+def k_rmax_disc(p, r):
+    return _win(p, r)[..., _disc_mask(r)].max(axis=-1)
+
+
+def k_rmin_disc(p, r):
+    return _win(p, r)[..., _disc_mask(r)].min(axis=-1)
+
+
 @dataclass(frozen=True)
 class RadialSpec:
     """A radius-parametric focal op: kernel(padded, r) + border mode."""
@@ -158,6 +185,13 @@ RADIAL_OPS: dict[str, RadialSpec] = {
         "fpercentile", k_rpercentile, K.BORDER_CONTINUE, cast="float64"
     ),
     "frank": RadialSpec("frank", k_rrank, K.BORDER_CONTINUE, cast="float64"),
+    # circular (disc) windows — dy²+dx² ≤ r², GRASS r.neighbors -c
+    "fsum_disc": RadialSpec("fsum_disc", k_rsum_disc, K.BORDER_FILL, 0, cast="float64"),
+    "fmean_disc": RadialSpec(
+        "fmean_disc", k_rmean_disc, K.BORDER_FILL, 0, cast="float64"
+    ),
+    "fmax_disc": RadialSpec("fmax_disc", k_rmax_disc, K.BORDER_EDGE),
+    "fmin_disc": RadialSpec("fmin_disc", k_rmin_disc, K.BORDER_EDGE),
 }
 
 

@@ -352,6 +352,16 @@ def q_fmax_r2(spark, sf_dir):
     return _focal_r_rows(spark, sf_dir, "fmax", "fmax2", radius=2)
 
 
+def q_fsum_disc_r2(spark, sf_dir):
+    # circular window (dy²+dx² ≤ 4 keeps 13 of 25 cells) — GRASS
+    # r.neighbors -c; Fill-0 border composes with the disc mask
+    return _focal_r_rows(spark, sf_dir, "fsum_disc", "fsumd", radius=2)
+
+
+def q_fmax_disc_r2(spark, sf_dir):
+    return _focal_r_rows(spark, sf_dir, "fmax_disc", "fmaxd", radius=2)
+
+
 def q_fsum_nodata(spark, sf_dir):
     # README.md:141-152 nodatafsum pattern: ival==0 cells are NoData
     from .operators.focal import fsum_nodata
@@ -1447,6 +1457,23 @@ GROUP BY c.gy, c.gx
 ORACLE["fmax_r2_grid"] = f"""
 WITH {GRID_CTE}, {_OFFS2}, {_COORDS2_CLAMP}
 SELECT c.gy, c.gx, max(n.val) AS fmax2
+{_JOIN_INNER}
+GROUP BY c.gy, c.gx
+"""
+# circular (disc) radius-2 windows: same offset CTEs, one dy²+dx²
+# predicate — missing/excluded cells fall out as NULLs of the
+# conditional aggregate (== the engine's Fill-0 + mask composition)
+ORACLE["fsum_disc_r2_grid"] = f"""
+WITH {GRID_CTE}, {_OFFS2}, {_COORDS2_FILL}
+SELECT c.gy, c.gx,
+  sum(CASE WHEN c.dy*c.dy + c.dx*c.dx <= 4 THEN n.val END) AS fsumd
+{_JOIN_LEFT}
+GROUP BY c.gy, c.gx
+"""
+ORACLE["fmax_disc_r2_grid"] = f"""
+WITH {GRID_CTE}, {_OFFS2}, {_COORDS2_CLAMP}
+SELECT c.gy, c.gx,
+  max(CASE WHEN c.dy*c.dy + c.dx*c.dx <= 4 THEN n.val END) AS fmaxd
 {_JOIN_INNER}
 GROUP BY c.gy, c.gx
 """
@@ -3356,4 +3383,7 @@ QUERIES = {
     "cluster_points": q_cluster_points,
     # r5: stream extraction (acc-threshold links over flow_analysis)
     "stream_network": q_stream_network,
+    # r5: circular (disc) extended neighbourhoods — Fill + Edge paths
+    "fsum_disc_r2_grid": q_fsum_disc_r2,
+    "fmax_disc_r2_grid": q_fmax_disc_r2,
 }

@@ -161,3 +161,29 @@ def test_fconvolve_zero_kernel_and_bad_shape(spark):
     np.testing.assert_array_equal(out, np.zeros_like(TERRAIN, dtype=np.float64))
     with pytest.raises(ValueError, match="3x3"):
         FO.fconvolve(tr, np.ones((5, 5)))
+
+
+def test_disc_mask_semantics_vs_bruteforce():
+    """Pin the disc membership rule (dy²+dx² ≤ r²) against a per-pixel
+    brute force, independent of the engine's vectorized kernels."""
+    rng = np.random.default_rng(77)
+    a = rng.integers(0, 50, size=(11, 12)).astype(np.float64)
+    r = 2
+    assert FX._disc_mask(2).sum() == 13  # the r=2 disc keeps 13 of 25
+    pad = np.pad(a, r, mode="constant", constant_values=0)
+    got_sum = FX.k_rsum_disc(pad, r)
+    pad_e = np.pad(a, r, mode="edge")
+    got_max = FX.k_rmax_disc(pad_e, r)
+    h, w = a.shape
+    for i in range(h):
+        for j in range(w):
+            vals_s, vals_m = [], []
+            for dy in range(-r, r + 1):
+                for dx in range(-r, r + 1):
+                    if dy * dy + dx * dx > r * r:
+                        continue
+                    y, x = i + dy, j + dx
+                    vals_s.append(a[y, x] if 0 <= y < h and 0 <= x < w else 0.0)
+                    vals_m.append(a[min(max(y, 0), h - 1), min(max(x, 0), w - 1)])
+            assert got_sum[i, j] == sum(vals_s)
+            assert got_max[i, j] == max(vals_m)
