@@ -382,6 +382,14 @@ def k_fvariance(p: np.ndarray) -> np.ndarray:
     return (9.0 * s2 - s1 * s1) / 81.0
 
 
+def k_fstddev(p: np.ndarray) -> np.ndarray:
+    """Focal population standard deviation: one IEEE sqrt over the
+    exact k_fvariance identity — bit-reproducible for the same reason
+    (the variance is an identical double on both engines and sqrt is
+    correctly rounded)."""
+    return np.sqrt(k_fvariance(p))
+
+
 #: Hillshade light constants (gdaldem defaults: azimuth 315°, altitude
 #: 45°), computed once here and shared VERBATIM (repr round-trip) with
 #: the SQL oracle so both engines evaluate the identical

@@ -85,6 +85,7 @@ FOCAL_OPS: dict[str, FocalSpec] = {
         "fhillshade", K.k_fhillshade, K.BORDER_CONTINUE, cast="float64"
     ),
     "fvariance": FocalSpec("fvariance", K.k_fvariance, K.BORDER_CONTINUE, cast="float64"),
+    "fstddev": FocalSpec("fstddev", K.k_fstddev, K.BORDER_CONTINUE, cast="float64"),
     "fpercentage": FocalSpec("fpercentage", K.k_fpercentage, K.BORDER_CONTINUE),
     "fpercentile": FocalSpec("fpercentile", K.k_fpercentile, K.BORDER_CONTINUE),
     # GaCM ops absent from the reference (README.md:129-130) — our
@@ -634,6 +635,10 @@ def froughness(tr):  # gdaldem roughness: max - min of the 3x3 window
 
 def fvariance(tr):  # focal population variance, exact integer identity
     return focal(tr, "fvariance")
+
+
+def fstddev(tr):  # focal population std dev: sqrt of the exact variance
+    return focal(tr, "fstddev")
 
 
 def fslope(tr):  # gdaldem slope -p: Horn gradient, percent

@@ -301,6 +301,27 @@ def q_froughness(spark, sf_dir):
     return _focal_rows(spark, sf_dir, "froughness", "rough", col="ival", dtype="int64")
 
 
+def q_fstddev(spark, sf_dir):
+    # sqrt of the exact integer-identity variance — one correctly-
+    # rounded sqrt on each engine over identical doubles
+    return _focal_rows(spark, sf_dir, "fstddev", "fstd", col="ival", dtype="int64")
+
+
+def q_morph_open(spark, sf_dir):
+    """Binary morphology OPENING (erode→dilate) on the thresholded
+    grid (ival > 1), composed through two halo stages with a strict
+    materialization barrier between them — the composition pattern
+    (like the reference's `fupstream . strict S . fdownstream`,
+    Test.hs:347).  All values {0,1}: min/max aggregates are exact.
+    Border Edge (clamp) on both stages."""
+    import numpy as np
+
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    binary = tr.map(lambda a: (a > 1).astype(np.float64)).strict()
+    eroded = FO.focal(binary, "fmin").strict()
+    return tiles_to_rows(FO.focal(eroded, "fmax"), "opened")
+
+
 def q_fslope(spark, sf_dir):
     # gdaldem slope -p (Horn, percent): integral-valued doubles keep
     # sx²+sy² exact; one correctly-rounded sqrt and a power-of-two
@@ -1373,6 +1394,36 @@ SELECT gy, gx,
   (9.0 * sum(v * v) - sum(v) * sum(v)) / 81.0 AS fvar
 FROM nbr GROUP BY gy, gx
 """
+ORACLE["fstddev_grid"] = f"""
+WITH {GRID_CTE}, {_COORDS_MIRROR},
+nbr AS (SELECT c.gy, c.gx, n.ival AS v {_JOIN_INNER})
+SELECT gy, gx,
+  sqrt((9.0 * sum(v * v) - sum(v) * sum(v)) / 81.0) AS fstd
+FROM nbr GROUP BY gy, gx
+"""
+
+# binary opening: threshold -> clamped 3x3 MIN -> clamped 3x3 MAX,
+# each stage its own neighbour join (the engine's two halo stages)
+ORACLE["morph_open_grid"] = f"""
+WITH {GRID_CTE},
+bin AS (SELECT gy, gx, CASE WHEN ival > 1 THEN 1.0 ELSE 0.0 END AS b
+        FROM grid),
+c1 AS (SELECT g.gy, g.gx,
+         least(greatest(g.gy+o.dy, 0), CAST(d.g AS INT)-1) AS cy,
+         least(greatest(g.gx+o.dx, 0), CAST(d.g AS INT)-1) AS cx
+       FROM bin g CROSS JOIN offs o CROSS JOIN dims d),
+er AS (SELECT c.gy, c.gx, min(n.b) AS e
+       FROM c1 c JOIN bin n ON n.gy = c.cy AND n.gx = c.cx
+       GROUP BY c.gy, c.gx),
+c2 AS (SELECT g.gy, g.gx,
+         least(greatest(g.gy+o.dy, 0), CAST(d.g AS INT)-1) AS cy,
+         least(greatest(g.gx+o.dx, 0), CAST(d.g AS INT)-1) AS cx
+       FROM er g CROSS JOIN offs o CROSS JOIN dims d)
+SELECT c.gy, c.gx, max(n.e) AS opened
+FROM c2 c JOIN er n ON n.gy = c.cy AND n.gx = c.cx
+GROUP BY c.gy, c.gx
+"""
+
 # Horn gradient weights as closed forms over the offset grid:
 # w_x(dy,dx) = dx*(2-|dy|) reproduces +1/+2/+1 on the east column and
 # -1/-2/-1 on the west; w_y(dy,dx) = dy*(2-|dx|) likewise north/south.
@@ -3386,4 +3437,8 @@ QUERIES = {
     # r5: circular (disc) extended neighbourhoods — Fill + Edge paths
     "fsum_disc_r2_grid": q_fsum_disc_r2,
     "fmax_disc_r2_grid": q_fmax_disc_r2,
+    # r5: focal std dev (exact-identity sqrt) + composed binary
+    # morphology opening (two halo stages through a strict barrier)
+    "fstddev_grid": q_fstddev,
+    "morph_open_grid": q_morph_open,
 }

@@ -75,3 +75,29 @@ def test_fhillshade_flat_and_orientation():
     se_face = K.k_fhillshade(_pad(-se_up))[2:-2, 2:-2]
     assert np.all(nw_face > se_face)
     assert np.all(se_face == 1.0)
+
+
+def test_fstddev_is_sqrt_of_variance():
+    rng = np.random.default_rng(21)
+    a = rng.integers(0, 9, size=(10, 14)).astype(np.float64)
+    p = np.pad(a, 1, mode="reflect")
+    np.testing.assert_array_equal(K.k_fstddev(p), np.sqrt(K.k_fvariance(p)))
+    # flat window -> 0
+    assert np.all(K.k_fstddev(np.pad(np.full((5, 5), 3.0), 1, "reflect")) == 0.0)
+
+
+def test_morphology_opening_removes_isolated_pixels(spark):
+    """Erode-then-dilate kills single-pixel speckle but preserves a
+    solid 3x3 block — the defining property of opening."""
+    from mapalgebra_spark.operators import focal as FO
+    from mapalgebra_spark.raster import TileRaster
+
+    a = np.zeros((12, 12))
+    a[2, 2] = 1.0          # isolated speckle: must vanish
+    a[6:9, 6:9] = 1.0      # solid 3x3 block: must survive intact
+    tr = TileRaster.from_arrays(spark, {"r": a}, tile_size=6)
+    er = FO.focal(tr, "fmin").strict()
+    opened = FO.focal(er, "fmax").collect_array("r")
+    assert opened[2, 2] == 0.0
+    np.testing.assert_array_equal(opened[6:9, 6:9], np.ones((3, 3)))
+    assert opened.sum() == 9.0
