@@ -2783,9 +2783,13 @@ def q_flow_accumulation(spark, sf_dir):
     )
 
 
+# MATERIALIZED on `e`: the recursive CTE references it every
+# iteration and the pit NOT-IN once more — without the hint DuckDB
+# re-inlines the whole cand→window pipeline per reference (measured
+# ~1000x slower and OOM-prone late in a long-lived connection)
 ORACLE["flow_accumulation"] = f"""
 WITH RECURSIVE {GRID_CTE}, {_COORDS_FILL},
-cand AS (
+cand AS MATERIALIZED (
   SELECT c.gy, c.gx, c.dy, c.dx,
     CASE WHEN c.dy = 0 OR c.dx = 0
          THEN 2*(g2.val - n.val)*(g2.val - n.val)
@@ -2795,22 +2799,21 @@ cand AS (
   JOIN grid g2 ON g2.gy = c.gy AND g2.gx = c.gx
   WHERE NOT (c.dy = 0 AND c.dx = 0) AND g2.val > n.val
 ),
-pick AS (
-  SELECT gy, gx, dy, dx,
-    row_number() OVER (PARTITION BY gy, gx ORDER BY key DESC, ord ASC) AS rn
-  FROM cand
-),
-e AS (
+e AS MATERIALIZED (
   SELECT CAST(p.gy AS BIGINT) * d.g + p.gx AS u,
          CAST(p.gy + p.dy AS BIGINT) * d.g + (p.gx + p.dx) AS v
-  FROM pick p CROSS JOIN dims d WHERE p.rn = 1
+  FROM (
+    SELECT gy, gx, dy, dx,
+      row_number() OVER (PARTITION BY gy, gx ORDER BY key DESC, ord ASC) AS rn
+    FROM cand
+  ) p CROSS JOIN dims d WHERE p.rn = 1
 ),
 reach AS (
   SELECT u, v FROM e
   UNION
   SELECT r.u, e2.v FROM reach r JOIN e e2 ON e2.u = r.v
 ),
-px AS (SELECT gy, gx, CAST(gy AS BIGINT) * d.g + gx AS id
+px AS MATERIALIZED (SELECT gy, gx, CAST(gy AS BIGINT) * d.g + gx AS id
        FROM grid CROSS JOIN dims d)
 SELECT p.gy, p.gx, 1 + COALESCE(m.c, 0) AS acc,
        COALESCE(b.basin, p.id) AS basin
@@ -2825,19 +2828,25 @@ LEFT JOIN (SELECT r.u, r.v AS basin FROM reach r
 
 def q_stream_network(spark, sf_dir):
     """Stream extraction (hydro.stream_network): D8 links whose source
-    accumulates ≥ 25 cells — one filter + one self equi-join over the
-    flow_analysis output.  Oracle: the flow CTE plus a threshold join
-    (bit-exact integers throughout)."""
+    accumulates ≥ 8 cells — one filter + one self equi-join over the
+    flow_analysis output (threshold 8 keeps ~4k real segments at
+    sf0.01; higher thresholds leave only pits, which have no outgoing
+    link and yield an empty — vacuous — comparison).  Oracle: the
+    flow CTE plus a threshold join (bit-exact integers throughout)."""
     from .gridq import GRID_TILE
     from .operators import hydro as HY
 
     tr, _, _ = _val_tiles(spark, sf_dir)
-    return HY.stream_network(HY.flow_analysis(tr, tile_pitch=GRID_TILE), 25)
+    return HY.stream_network(HY.flow_analysis(tr, tile_pitch=GRID_TILE), 8)
 
 
+# MATERIALIZED on the heavy CTEs: `e` is referenced three times and
+# `fl` once more — without the hint DuckDB re-inlines the whole
+# cand→pick window pipeline per reference, which OOMs when this
+# oracle runs late in a long-lived connection
 ORACLE["stream_network"] = f"""
 WITH RECURSIVE {GRID_CTE}, {_COORDS_FILL},
-cand AS (
+cand AS MATERIALIZED (
   SELECT c.gy, c.gx, c.dy, c.dx,
     CASE WHEN c.dy = 0 OR c.dx = 0
          THEN 2*(g2.val - n.val)*(g2.val - n.val)
@@ -2847,29 +2856,29 @@ cand AS (
   JOIN grid g2 ON g2.gy = c.gy AND g2.gx = c.gx
   WHERE NOT (c.dy = 0 AND c.dx = 0) AND g2.val > n.val
 ),
-pick AS (
-  SELECT gy, gx, dy, dx,
-    row_number() OVER (PARTITION BY gy, gx ORDER BY key DESC, ord ASC) AS rn
-  FROM cand
-),
-e AS (
+e AS MATERIALIZED (
   SELECT CAST(p.gy AS BIGINT) * d.g + p.gx AS u,
          CAST(p.gy + p.dy AS BIGINT) * d.g + (p.gx + p.dx) AS v
-  FROM pick p CROSS JOIN dims d WHERE p.rn = 1
+  FROM (
+    SELECT gy, gx, dy, dx,
+      row_number() OVER (PARTITION BY gy, gx ORDER BY key DESC, ord ASC) AS rn
+    FROM cand
+  ) p CROSS JOIN dims d WHERE p.rn = 1
 ),
 reach AS (
   SELECT u, v FROM e
   UNION
   SELECT r.u, e2.v FROM reach r JOIN e e2 ON e2.u = r.v
 ),
-px AS (SELECT gy, gx, CAST(gy AS BIGINT) * d.g + gx AS id
+px AS MATERIALIZED (SELECT gy, gx, CAST(gy AS BIGINT) * d.g + gx AS id
        FROM grid CROSS JOIN dims d),
-fl AS (SELECT p.gy, p.gx, p.id, 1 + COALESCE(m.c, 0) AS acc
+fl AS MATERIALIZED (
+       SELECT p.gy, p.gx, p.id, 1 + COALESCE(m.c, 0) AS acc
        FROM px p LEFT JOIN (SELECT v, count(*) AS c FROM reach GROUP BY v) m
          ON m.v = p.id)
 SELECT s.gy, s.gx, t.gy AS gy2, t.gx AS gx2, s.acc
 FROM (SELECT a.gy, a.gx, a.acc, e.v FROM fl a
-      JOIN e ON e.u = a.id WHERE a.acc >= 25) s
+      JOIN e ON e.u = a.id WHERE a.acc >= 8) s
 JOIN px t ON t.id = s.v
 """
 
@@ -3269,11 +3278,7 @@ SELECT 'by_user', 1, 1, 1, (SELECT c FROM u), (SELECT c FROM u)
 # the right entries to fall outside a capped driver window.
 QUERIES = {
     # local / zonal
-    "classify_grid": q_classify,
-    "lmean_grid": q_lmean,
     "lvariance_grid": q_lvariance,
-    "lmajority_grid": q_lmajority,
-    "histogram_grid": q_histogram,
     "zonal_grid": q_zonal,
     # the GLOBAL op family (late r4: exact EDT, two strip passes)
     "distance_grid": q_distance,
@@ -3282,7 +3287,6 @@ QUERIES = {
     # histogram -> reference break fold (recursive-CTE oracle)
     "breaks_grid": q_breaks,
     # focal
-    "fsum_grid": q_fsum,
     "lsum_grid": q_lsum,
     "fmean_grid": q_fmean,
     "fmax_grid": q_fmax,
@@ -3292,7 +3296,6 @@ QUERIES = {
     "finsularity_grid": q_finsularity,
     "upsample_bilinear_grid": q_upsample_bilinear,
     # surficial / lineal / areal
-    "fvolume_grid": q_fvolume,
     "fgradient_grid": q_fgradient,
     "faspect_grid": q_faspect,
     "flinkage_grid": q_flinkage,
@@ -3316,8 +3319,6 @@ QUERIES = {
     "cosine_topk_ivf": q_cosine_topk_ivf,
     "minhash_pairs": q_minhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
-    "simhash": q_simhash,
-    "lang_id": q_lang_id,
     # multimodal near-dup through the real image codecs (oracle =
     # planted byte-duplicates; see section docstring)
     "image_near_dup": q_image_near_dup,
@@ -3343,7 +3344,41 @@ QUERIES = {
     # full-lifecycle composition under one hash: tiles -> focal fsum ->
     # strict -> colorize -> zonal colour census (r3 verdict stretch 7)
     "pipeline_composed": q_pipeline_composed,
+    # ---- late-r5 promotions (never driver-validated before) ----
+    # gdaldem hillshade (Horn pair; fslope = its 51+ twin)
+    "fhillshade_grid": q_fhillshade,
+    # global histogram equalization (distributed LUT, no collect)
+    "equalize_grid": q_equalize,
+    # region labeling: local contraction + boundary-graph CC
+    "clump_grid": q_clump,
+    # exact zonal quartiles from the census vs native quantile_cont
+    "zonal_quantiles": q_zonal_quantiles,
+    # CCNet-style line-level exact dedup (skew-safe winners)
+    "line_dedup": q_line_dedup,
+    # D8 flow accumulation + watershed (path-doubled closure)
+    "flow_accumulation": q_flow_accumulation,
+    # planar epsilon-clustering (DBSCAN grid method + CC)
+    "cluster_points": q_cluster_points,
+    # arbitrary-factor block aggregation (shuffle-free)
+    "block_stats": q_block_stats,
     # ---- position 51+: siblings/variants of hash-validated ops ----
+    # late-r5 demotions (in-window twin or strictly stronger cover
+    # stays; all were driver-green in r1-r4 windows): classify
+    # (colorize runs classify as its first stage), histogram (breaks
+    # consumes the histogram), fsum (fmean = fsum/9, same Fill
+    # shift-reduce), lmean (lsum/lvariance: same stacked local
+    # machinery), lmajority (fmajority: same tie rule), fvolume
+    # (fgradient/faspect/fshape: same Reflect surficial family),
+    # simhash (minhash/ngram_jaccard: same hash-signature family),
+    # lang_id (quality_scores: same pure-JVM text-stats family)
+    "classify_grid": q_classify,
+    "lmean_grid": q_lmean,
+    "lmajority_grid": q_lmajority,
+    "histogram_grid": q_histogram,
+    "fsum_grid": q_fsum,
+    "fvolume_grid": q_fvolume,
+    "simhash": q_simhash,
+    "lang_id": q_lang_id,
     # r5 demotions (twin stays in-window; see rotation note above)
     "fproduct_grid": q_fproduct,
     "fvariety_grid": q_fvariety,
@@ -3412,26 +3447,9 @@ QUERIES = {
     "ftri_grid": q_ftri,
     "froughness_grid": q_froughness,
     "fvariance_grid": q_fvariance_focal,
-    # r5: gdaldem Horn-gradient pair — percent slope (single-sqrt
-    # exact) and hillshade (pinned-order IEEE chain, shared constants)
+    # r5: gdaldem percent slope (single-sqrt exact; hillshade, its
+    # Horn-pair twin, is driver-window promoted above)
     "fslope_grid": q_fslope,
-    "fhillshade_grid": q_fhillshade,
-    # r5: global histogram equalization (distributed LUT, no collect)
-    "equalize_grid": q_equalize,
-    # r5: region labeling (clump) — local contraction + boundary CC
-    "clump_grid": q_clump,
-    # r5: exact zonal quartiles from the census vs native quantile_cont
-    "zonal_quantiles": q_zonal_quantiles,
-    # r5: CCNet-style line-level exact dedup (skew-safe winners)
-    "line_dedup": q_line_dedup,
-    # r5: arbitrary-factor block aggregation (shuffle-free)
-    "block_stats": q_block_stats,
-    # r5: D8 flow accumulation — the global hydrology op (path-doubled
-    # ancestor closure over the steepest-descent DAG)
-    "flow_accumulation": q_flow_accumulation,
-    # r5: planar ε-clustering via the DBSCAN grid method + CC,
-    # checked against a quadratic-join + closure oracle
-    "cluster_points": q_cluster_points,
     # r5: stream extraction (acc-threshold links over flow_analysis)
     "stream_network": q_stream_network,
     # r5: circular (disc) extended neighbourhoods — Fill + Edge paths
