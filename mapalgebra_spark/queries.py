@@ -2883,6 +2883,63 @@ JOIN px t ON t.id = s.v
 """
 
 
+def q_basin_stats(spark, sf_dir):
+    """Cross-family composition: per-WATERSHED zonal statistics —
+    flow_analysis basins become the zone layer for a count/sum/mean
+    rollup of the elevation values.  One relational join + groupBy on
+    top of the hydro output; exact integral sums, one division."""
+    from .gridq import GRID_TILE
+    from .operators import hydro as HY
+
+    tr, g, G = _val_tiles(spark, sf_dir)
+    fa = HY.flow_analysis(tr, tile_pitch=GRID_TILE)
+    joined = fa.join(g.select("gy", "gx", "val"), on=["gy", "gx"])
+    return joined.groupBy("basin").agg(
+        F.count("*").alias("cells"),
+        F.sum("val").alias("vsum"),
+        (F.sum("val") / F.count("*")).alias("vmean"),
+    )
+
+
+ORACLE["basin_stats"] = f"""
+WITH RECURSIVE {GRID_CTE}, {_COORDS_FILL},
+cand AS MATERIALIZED (
+  SELECT c.gy, c.gx, c.dy, c.dx,
+    CASE WHEN c.dy = 0 OR c.dx = 0
+         THEN 2*(g2.val - n.val)*(g2.val - n.val)
+         ELSE (g2.val - n.val)*(g2.val - n.val) END AS key,
+    (c.dy+1)*3 + (c.dx+1) AS ord
+  {_JOIN_INNER}
+  JOIN grid g2 ON g2.gy = c.gy AND g2.gx = c.gx
+  WHERE NOT (c.dy = 0 AND c.dx = 0) AND g2.val > n.val
+),
+e AS MATERIALIZED (
+  SELECT CAST(p.gy AS BIGINT) * d.g + p.gx AS u,
+         CAST(p.gy + p.dy AS BIGINT) * d.g + (p.gx + p.dx) AS v
+  FROM (
+    SELECT gy, gx, dy, dx,
+      row_number() OVER (PARTITION BY gy, gx ORDER BY key DESC, ord ASC) AS rn
+    FROM cand
+  ) p CROSS JOIN dims d WHERE p.rn = 1
+),
+reach AS (
+  SELECT u, v FROM e
+  UNION
+  SELECT r.u, e2.v FROM reach r JOIN e e2 ON e2.u = r.v
+),
+px AS MATERIALIZED (SELECT gy, gx, val, CAST(gy AS BIGINT) * d.g + gx AS id
+       FROM grid CROSS JOIN dims d),
+bs AS (SELECT p.gy, p.gx, p.val, COALESCE(b.basin, p.id) AS basin
+       FROM px p
+       LEFT JOIN (SELECT r.u, r.v AS basin FROM reach r
+                  WHERE r.v NOT IN (SELECT u FROM e)) b
+         ON b.u = p.id)
+SELECT basin, count(*) AS cells, sum(val) AS vsum,
+       sum(val) / count(*) AS vmean
+FROM bs GROUP BY basin
+"""
+
+
 def q_cluster_points(spark, sf_dir):
     """Planar ε-clustering (single-linkage / DBSCAN minPts=1) of the
     customer point set via the grid method (spatial.cluster_points):
@@ -3459,4 +3516,6 @@ QUERIES = {
     # morphology opening (two halo stages through a strict barrier)
     "fstddev_grid": q_fstddev,
     "morph_open_grid": q_morph_open,
+    # r5: per-watershed zonal statistics (hydro × zonal composition)
+    "basin_stats": q_basin_stats,
 }
