@@ -1211,6 +1211,42 @@ FROM px p JOIN (SELECT id, min(r) AS clump FROM reach GROUP BY id) m
   ON m.id = p.id
 """
 
+def q_region_sizes(spark, sf_dir):
+    """Region-Group rollup: cell count + (uniform) value per clump —
+    regions.region_sizes over the two-level clump labelling."""
+    from .operators import regions as RG
+    from .gridq import GRID_TILE
+
+    tr, _, _ = _val_tiles(spark, sf_dir, "ival", "int64")
+    return RG.region_sizes(RG.clump(tr, tile_pitch=GRID_TILE)).select(
+        "clump", "cells", "val"
+    )
+
+
+ORACLE["region_sizes"] = f"""
+WITH RECURSIVE {GRID_CTE},
+px AS (SELECT g.gy, g.gx, g.ival,
+       CAST(g.gy AS BIGINT) * CAST(d.g AS BIGINT) + g.gx AS id
+       FROM grid g CROSS JOIN dims d),
+e0 AS (
+  SELECT a.id AS u, b.id AS v FROM px a
+  JOIN px b ON b.gy = a.gy AND b.gx = a.gx + 1 AND b.ival = a.ival
+  UNION ALL
+  SELECT a.id AS u, b.id AS v FROM px a
+  JOIN px b ON b.gx = a.gx AND b.gy = a.gy + 1 AND b.ival = a.ival
+),
+sym AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+reach AS (
+  SELECT id, id AS r FROM px
+  UNION
+  SELECT s.v AS id, re.r FROM reach re JOIN sym s ON s.u = re.id
+),
+lab AS (SELECT id, min(r) AS clump FROM reach GROUP BY id)
+SELECT l.clump, count(*) AS cells, CAST(min(p.ival) AS DOUBLE) AS val
+FROM lab l JOIN px p ON p.id = l.id GROUP BY l.clump
+"""
+
+
 # global histogram equalization: cdf window + totals + LUT join —
 # the same formula, same op order (exact int numerator, one division,
 # floor of identical doubles)
@@ -3518,4 +3554,6 @@ QUERIES = {
     "morph_open_grid": q_morph_open,
     # r5: per-watershed zonal statistics (hydro × zonal composition)
     "basin_stats": q_basin_stats,
+    # r5: Region-Group rollup (clump × rollup composition)
+    "region_sizes": q_region_sizes,
 }
